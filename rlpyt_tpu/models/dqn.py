@@ -1,0 +1,175 @@
+"""DQN-family models (reference: rlpyt/models/dqn/atari_dqn_model.py,
+dueling.py, atari_catdqn_model.py, atari_r2d1_model.py).
+
+All accept observations with [], [B], or [T,B] leading dims (the rlpyt
+universal-model idiom, via struct.infer_leading_dims) and uint8 images in
+[C, H, W] layout scaled by 1/255 inside the model.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rlpyt_tpu.models.conv import Conv2dModel
+from rlpyt_tpu.models.mlp import MlpModel
+from rlpyt_tpu.models.rnn import LstmCore, RnnState
+from rlpyt_tpu.struct import infer_leading_dims, restore_leading_dims
+
+# Nature-CNN defaults adapted by rlpyt to its 104x80 frames
+# (rlpyt/models/dqn/atari_dqn_model.py ~L30).
+ATARI_CHANNELS = (32, 64, 64)
+ATARI_KERNELS = (8, 4, 3)
+ATARI_STRIDES = (4, 2, 1)
+ATARI_PADDINGS = (0, 1, 1)
+
+
+class DuelingHead(nn.Module):
+    """V + A streams with mean-advantage subtraction
+    (rlpyt/models/dqn/dueling.py:DuelingHeadModel ~L10)."""
+
+    hidden_sizes: Sequence[int]
+    output_size: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        adv = MlpModel(self.hidden_sizes, self.output_size,
+                       compute_dtype=self.compute_dtype)(x)
+        val = MlpModel(self.hidden_sizes, 1,
+                       compute_dtype=self.compute_dtype)(x)
+        return val + adv - adv.mean(axis=-1, keepdims=True)
+
+
+class DistributionalDuelingHead(nn.Module):
+    """Dueling over atoms: output [B, A, n_atoms] logits
+    (rlpyt/models/dqn/dueling.py:DistributionalDuelingHeadModel ~L60)."""
+
+    hidden_sizes: Sequence[int]
+    output_size: int  # number of actions
+    n_atoms: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        adv = MlpModel(self.hidden_sizes, self.output_size * self.n_atoms,
+                       compute_dtype=self.compute_dtype)(x)
+        val = MlpModel(self.hidden_sizes, self.n_atoms,
+                       compute_dtype=self.compute_dtype)(x)
+        adv = adv.reshape(adv.shape[:-1] + (self.output_size, self.n_atoms))
+        val = val.reshape(val.shape[:-1] + (1, self.n_atoms))
+        return val + adv - adv.mean(axis=-2, keepdims=True)
+
+
+class AtariDqnModel(nn.Module):
+    """Conv → (dueling) Q head (rlpyt/models/dqn/atari_dqn_model.py ~L15)."""
+
+    n_actions: int
+    fc_sizes: Sequence[int] = (512,)
+    dueling: bool = False
+    channels: Sequence[int] = ATARI_CHANNELS
+    kernel_sizes: Sequence[int] = ATARI_KERNELS
+    strides: Sequence[int] = ATARI_STRIDES
+    paddings: Sequence[int] = ATARI_PADDINGS
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, observation, prev_action=None, prev_reward=None):
+        lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
+        img = observation.reshape((T * B,) + img_shape)
+        img = img.astype(self.compute_dtype) * (1.0 / 255.0)
+        x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
+                        self.paddings, compute_dtype=self.compute_dtype)(img)
+        x = x.reshape(T * B, -1)
+        if self.dueling:
+            q = DuelingHead(self.fc_sizes, self.n_actions,
+                            self.compute_dtype)(x)
+        else:
+            q = MlpModel(self.fc_sizes, self.n_actions,
+                         compute_dtype=self.compute_dtype)(x)
+        return restore_leading_dims(q, lead_dim, T, B)
+
+
+class AtariCatDqnModel(nn.Module):
+    """Distributional (C51) model: softmax over atoms
+    (rlpyt/models/dqn/atari_catdqn_model.py ~L15)."""
+
+    n_actions: int
+    n_atoms: int = 51
+    fc_sizes: Sequence[int] = (512,)
+    dueling: bool = False
+    channels: Sequence[int] = ATARI_CHANNELS
+    kernel_sizes: Sequence[int] = ATARI_KERNELS
+    strides: Sequence[int] = ATARI_STRIDES
+    paddings: Sequence[int] = ATARI_PADDINGS
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, observation, prev_action=None, prev_reward=None):
+        lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
+        img = observation.reshape((T * B,) + img_shape)
+        img = img.astype(self.compute_dtype) * (1.0 / 255.0)
+        x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
+                        self.paddings, compute_dtype=self.compute_dtype)(img)
+        x = x.reshape(T * B, -1)
+        if self.dueling:
+            logits = DistributionalDuelingHead(
+                self.fc_sizes, self.n_actions, self.n_atoms,
+                self.compute_dtype)(x)
+        else:
+            logits = MlpModel(
+                self.fc_sizes, self.n_actions * self.n_atoms,
+                compute_dtype=self.compute_dtype)(x)
+            logits = logits.reshape(T * B, self.n_actions, self.n_atoms)
+        p = jax.nn.softmax(logits, axis=-1)
+        return restore_leading_dims(p, lead_dim, T, B)
+
+
+class AtariR2d1Model(nn.Module):
+    """Conv → LSTM(+prev action/reward) → (dueling) Q
+    (rlpyt/models/dqn/atari_r2d1_model.py ~L15).
+
+    ``__call__(obs, prev_action, prev_reward, rnn_state, done=None)``
+    returns (q, next_rnn_state).  ``done`` ([T,B] or [B]) resets the rnn
+    state at episode starts inside a training window; pass None at sampling
+    time (the agent zeroes state itself on reset).
+    """
+
+    n_actions: int
+    fc_sizes: Sequence[int] = (512,)
+    lstm_size: int = 512
+    dueling: bool = True
+    channels: Sequence[int] = ATARI_CHANNELS
+    kernel_sizes: Sequence[int] = ATARI_KERNELS
+    strides: Sequence[int] = ATARI_STRIDES
+    paddings: Sequence[int] = ATARI_PADDINGS
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, observation, prev_action, prev_reward,
+                 rnn_state: RnnState, done=None):
+        lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
+        img = observation.reshape((T * B,) + img_shape)
+        img = img.astype(self.compute_dtype) * (1.0 / 255.0)
+        x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
+                        self.paddings, compute_dtype=self.compute_dtype)(img)
+        x = x.reshape(T, B, -1)
+        pa = jax.nn.one_hot(prev_action.reshape(T, B), self.n_actions,
+                            dtype=x.dtype)
+        pr = prev_reward.reshape(T, B, 1).astype(x.dtype)
+        lstm_in = jnp.concatenate([x, pa, pr], axis=-1)
+        if done is None:
+            done_tb = jnp.zeros((T, B), jnp.bool_)
+        else:
+            done_tb = done.reshape(T, B)
+        y, next_state = LstmCore(self.lstm_size)(lstm_in, done_tb, rnn_state)
+        y = y.reshape(T * B, -1)
+        if self.dueling:
+            q = DuelingHead(self.fc_sizes, self.n_actions,
+                            self.compute_dtype)(y)
+        else:
+            q = MlpModel(self.fc_sizes, self.n_actions,
+                         compute_dtype=self.compute_dtype)(y)
+        return restore_leading_dims(q, lead_dim, T, B), next_state
