@@ -1,6 +1,7 @@
 from rlpyt_tpu.models.mlp import MlpModel
 from rlpyt_tpu.models.conv import Conv2dModel, Conv2dHeadModel
 from rlpyt_tpu.models.dqn import (
+    DqnMlpModel,
     AtariDqnModel,
     AtariCatDqnModel,
     AtariR2d1Model,

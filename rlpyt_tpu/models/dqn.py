@@ -173,3 +173,26 @@ class AtariR2d1Model(nn.Module):
             q = MlpModel(self.fc_sizes, self.n_actions,
                          compute_dtype=self.compute_dtype)(y)
         return restore_leading_dims(q, lead_dim, T, B), next_state
+
+
+class DqnMlpModel(nn.Module):
+    """MLP Q-network for vector observations (the reference pairs MlpModel
+    with DqnAgent for non-image envs; this adapter gives it the standard
+    (obs, prev_action, prev_reward) model signature)."""
+
+    n_actions: int
+    hidden_sizes: Sequence[int] = (256, 256)
+    dueling: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, observation, prev_action=None, prev_reward=None):
+        lead_dim, T, B, obs_shape = infer_leading_dims(observation, 1)
+        x = observation.reshape((T * B,) + obs_shape).astype(jnp.float32)
+        if self.dueling:
+            q = DuelingHead(self.hidden_sizes, self.n_actions,
+                            self.compute_dtype)(x)
+        else:
+            q = MlpModel(self.hidden_sizes, self.n_actions,
+                         compute_dtype=self.compute_dtype)(x)
+        return restore_leading_dims(q, lead_dim, T, B)

@@ -1,0 +1,180 @@
+"""Replay buffer core (reference: rlpyt/replays/base.py,
+rlpyt/replays/n_step.py:BaseNStepReturnBuffer).
+
+rlpyt preallocates numpy ring buffers in OS shared memory, guarded by a
+reader-writer lock in async mode.  Here the ring lives in device HBM as a
+pytree of arrays inside the jitted train program; insert is a donated
+``dynamic_update_slice`` and sampling is a batched gather — no locks, no
+copies, no host round-trip.  The async RWLock machinery
+(rlpyt/replays/async_.py) has no equivalent because there is no concurrent
+mutation: the train step is a pure function.
+
+Differences from the reference, by design:
+- n-step returns are computed at *sample* time via a small static-unrolled
+  gather (n ≤ ~10) instead of at insert time; same math, better layout for
+  XLA (no carry state between inserts).
+- The ring length is rounded up to a multiple of the sampler's T so insert
+  is a single aligned slice write.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rlpyt_tpu.struct import buffer_from_example, tree_dynamic_set, tree_index
+
+
+class SamplesToBuffer(NamedTuple):
+    """What the DQN-family algos store
+    (rlpyt/algos/dqn/dqn.py:SamplesToBuffer)."""
+
+    observation: Any
+    action: Any
+    reward: jax.Array
+    done: jax.Array
+    timeout: jax.Array  # time-limit truncation flag (Tl buffers)
+
+
+class ReplayState(NamedTuple):
+    data: Any            # pytree with [size_T, B, ...] leaves
+    t: jax.Array         # cursor: next write row (int32)
+    filled_t: jax.Array  # rows containing valid data (<= size_T)
+
+
+class AgentInputs(NamedTuple):
+    """(rlpyt/agents/base.py:AgentInputs)."""
+
+    observation: Any
+    prev_action: Any
+    prev_reward: jax.Array
+
+
+class SamplesFromReplay(NamedTuple):
+    """(rlpyt/replays/non_sequence/n_step.py:SamplesFromReplay)."""
+
+    agent_inputs: AgentInputs
+    action: Any
+    return_: jax.Array     # n-step discounted return
+    done: jax.Array
+    done_n: jax.Array      # done within the n-step window
+    timeout_n: jax.Array   # timeout within the n-step window
+    target_inputs: AgentInputs  # inputs at t + n_step
+    is_weights: jax.Array  # PER importance weights (ones for uniform)
+    indices: Tuple[jax.Array, jax.Array]  # (t_idx, b_idx) for priority upd
+
+
+class BaseReplayBuffer:
+    """Static configuration + pure state-transition methods."""
+
+    def __init__(self, size: int, B: int, sample_T: int,
+                 discount: float = 0.99, n_step_return: int = 1):
+        """``size``: total transitions (rounded up to multiple of
+        sample_T * B).  ``sample_T``: the sampler's batch_T (insert
+        granularity)."""
+        self.B = B
+        self.sample_T = sample_T
+        size_T = -(-size // B)
+        self.size_T = -(-size_T // sample_T) * sample_T
+        self.discount = discount
+        self.n_step = n_step_return
+        self.off_backward = n_step_return  # guard after sampled idx
+        self.off_forward = 1               # guard at ring start (prev_*)
+
+    @property
+    def size(self) -> int:
+        return self.size_T * self.B
+
+    # ------------------------------------------------------------------
+
+    def init(self, example: SamplesToBuffer) -> ReplayState:
+        """``example``: single-step pytree (no leading dims)."""
+        data = buffer_from_example(example, (self.size_T, self.B))
+        return ReplayState(
+            data=data,
+            t=jnp.zeros((), jnp.int32),
+            filled_t=jnp.zeros((), jnp.int32),
+        )
+
+    def append(self, state: ReplayState, samples: SamplesToBuffer
+               ) -> ReplayState:
+        """Insert a [T, B] block at the cursor
+        (rlpyt/replays/n_step.py:append_samples).  T must equal sample_T so
+        the write is one aligned dynamic_update_slice (size_T % T == 0 ⇒ no
+        wraparound split)."""
+        data = tree_dynamic_set(state.data, state.t, samples, axis=0)
+        t = (state.t + self.sample_T) % self.size_T
+        filled = jnp.minimum(state.filled_t + self.sample_T, self.size_T)
+        return ReplayState(data=data, t=t, filled_t=filled)
+
+    # ------------------------------------------------------------------
+
+    def valid_window(self, state: ReplayState) -> Tuple[jax.Array, jax.Array]:
+        """(base, span): sampleable offsets are
+        [off_forward, span - off_backward) relative to ``base`` (the oldest
+        row), with absolute row = (base + offset) % size_T."""
+        full = state.filled_t >= self.size_T
+        base = jnp.where(full, state.t, 0)
+        span = jnp.where(full, self.size_T, state.filled_t)
+        return base, span
+
+    def sample_idxs(self, state: ReplayState, key: jax.Array,
+                    batch_size: int) -> Tuple[jax.Array, jax.Array]:
+        """Uniform valid (t, b) draws
+        (rlpyt/replays/non_sequence/uniform.py:sample_idxs)."""
+        base, span = self.valid_window(state)
+        k_t, k_b = jax.random.split(key)
+        n_valid = jnp.maximum(span - self.off_backward - self.off_forward, 1)
+        offset = self.off_forward + (
+            jax.random.randint(k_t, (batch_size,), 0, 1 << 30) % n_valid)
+        t_idx = (base + offset) % self.size_T
+        b_idx = jax.random.randint(k_b, (batch_size,), 0, self.B)
+        return t_idx, b_idx
+
+    def extract_batch(self, state: ReplayState, t_idx: jax.Array,
+                      b_idx: jax.Array,
+                      is_weights: jax.Array | None = None
+                      ) -> SamplesFromReplay:
+        """Gather transitions + n-step targets
+        (rlpyt/replays/non_sequence/n_step.py:extract_batch)."""
+        d = state.data
+
+        def at(leaf, k=0):
+            return leaf[(t_idx + k) % self.size_T, b_idx]
+
+        obs = jax.tree.map(lambda l: at(l, 0), d.observation)
+        action = at(d.action)
+        prev_action = at(d.action, -1)
+        prev_reward = at(d.reward, -1)
+        done = at(d.done)
+
+        # n-step return with stop-at-done, computed by static unroll.
+        ret = at(d.reward).astype(jnp.float32)
+        done_n = at(d.done)
+        timeout_n = at(d.timeout)
+        for k in range(1, self.n_step):
+            live = 1.0 - done_n.astype(jnp.float32)
+            ret = ret + (self.discount ** k) * at(d.reward, k) * live
+            timeout_n = timeout_n | (at(d.timeout, k) & ~done_n)
+            done_n = done_n | at(d.done, k)
+
+        target_obs = jax.tree.map(
+            lambda l: at(l, self.n_step), d.observation)
+        target_prev_action = at(d.action, self.n_step - 1)
+        target_prev_reward = at(d.reward, self.n_step - 1)
+
+        if is_weights is None:
+            is_weights = jnp.ones(t_idx.shape, jnp.float32)
+        return SamplesFromReplay(
+            agent_inputs=AgentInputs(obs, prev_action, prev_reward),
+            action=action,
+            return_=ret,
+            done=done,
+            done_n=done_n,
+            timeout_n=timeout_n,
+            target_inputs=AgentInputs(target_obs, target_prev_action,
+                                      target_prev_reward),
+            is_weights=is_weights,
+            indices=(t_idx, b_idx),
+        )

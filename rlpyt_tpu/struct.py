@@ -234,3 +234,9 @@ def tree_map_with_path_names(fn: Callable[[str, Any], Any], tree: T) -> T:
         return fn(name, leaf)
 
     return jax.tree_util.tree_map_with_path(_fn, tree)
+
+
+def tree_copy(tree: T) -> T:
+    """Fresh buffers for every leaf — required before donating a carry that
+    would otherwise alias (e.g. target_params initialized from params)."""
+    return jax.tree.map(jnp.copy, tree)
