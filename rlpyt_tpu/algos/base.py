@@ -1,9 +1,11 @@
 """Algorithm base (reference: rlpyt/algos/base.py:RlAlgorithm ~L5).
 
 An algorithm is static config + pure functions:
-  initialize(agent, batch_spec, example_obs, key) -> TrainState (+ replay)
-  optimize(train_state, replay_state, samples, key, cum_steps)
+  initialize(agent, batch_spec, example_obs, key, n_itr) -> TrainState (+ replay)
+  optimize(train_state, replay_state, samples, key, rollout_state)
       -> (train_state, replay_state, OptInfo)
+(``rollout_state`` provides cum_steps for schedules and the final
+observation/carry for bootstrap values.)
 The runner embeds ``optimize`` in the jitted train iteration; the optimizer
 (optax) state lives inside TrainState — replacing torch.optim ownership.
 """
@@ -41,8 +43,9 @@ class RlAlgorithm:
 
     bootstrap_value: bool = False  # sampler stores V(s_T) when True
 
-    def initialize(self, agent, batch_spec, example_obs, key):
+    def initialize(self, agent, batch_spec, example_obs, key, n_itr=1):
         raise NotImplementedError
 
-    def optimize(self, train_state, replay_state, samples, key, cum_steps):
+    def optimize(self, train_state, replay_state, samples, key,
+                 rollout_state):
         raise NotImplementedError

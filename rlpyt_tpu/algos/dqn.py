@@ -77,7 +77,7 @@ class DQN(RlAlgorithm):
 
     # ------------------------------------------------------------------
 
-    def initialize(self, agent, batch_spec, example_obs, key):
+    def initialize(self, agent, batch_spec, example_obs, key, n_itr=1):
         """Build TrainState + replay (rlpyt DQN.initialize ~L90: selects
         ReplayCls, sizes updates_per_optimize from replay_ratio)."""
         self.agent = agent
@@ -178,8 +178,9 @@ class DQN(RlAlgorithm):
         return new_state, replay_state, info
 
     def optimize(self, train_state: DqnTrainState, replay_state,
-                 samples: Samples, key, cum_steps):
+                 samples: Samples, key, rollout_state):
         """Append → maybe K updates (rlpyt DQN.optimize_agent ~L150)."""
+        cum_steps = rollout_state.cum_steps
         replay_state = self.replay.append(
             replay_state, self.samples_to_buffer(samples))
 

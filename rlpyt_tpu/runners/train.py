@@ -81,17 +81,17 @@ class MinibatchRl:
                                    self.env_params)
         rollout_state = self.collector.init_state(k_env)
         example_obs = rollout_state.observation
+        self.n_itr = max(1, math.ceil(self.n_steps / self.batch_spec.size))
+        self.itrs_per_interval = max(
+            1, self.log_interval_steps // self.batch_spec.size)
         train_state, replay_state = self.algo.initialize(
-            self.agent, self.batch_spec, example_obs, k_agent)
+            self.agent, self.batch_spec, example_obs, k_agent,
+            n_itr=self.n_itr)
 
         if self.max_decorrelation_steps > 0:
             rollout_state = jax.jit(
                 self.collector.decorrelate, static_argnums=1)(
                     rollout_state, self.max_decorrelation_steps)
-
-        self.n_itr = max(1, math.ceil(self.n_steps / self.batch_spec.size))
-        self.itrs_per_interval = max(
-            1, self.log_interval_steps // self.batch_spec.size)
 
         # --- the jitted interval program --------------------------------
         def one_itr(carry: TrainCarry, _):
@@ -100,8 +100,7 @@ class MinibatchRl:
                 train_state.params, rollout_state)
             algo_key, k = jax.random.split(algo_key)
             train_state, replay_state, opt_info = self.algo.optimize(
-                train_state, replay_state, samples, k,
-                rollout_state.cum_steps)
+                train_state, replay_state, samples, k, rollout_state)
             return TrainCarry(rollout_state, train_state, replay_state,
                               algo_key), opt_info
 
