@@ -196,3 +196,37 @@ class DqnMlpModel(nn.Module):
             q = MlpModel(self.hidden_sizes, self.n_actions,
                          compute_dtype=self.compute_dtype)(x)
         return restore_leading_dims(q, lead_dim, T, B)
+
+
+class R2d1MlpModel(nn.Module):
+    """MLP → LSTM → (dueling) Q for vector observations — the small-scale
+    analogue of AtariR2d1Model used for unit tests and non-image envs."""
+
+    n_actions: int
+    hidden_sizes: Sequence[int] = (64,)
+    lstm_size: int = 64
+    dueling: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, observation, prev_action, prev_reward,
+                 rnn_state: RnnState, done=None):
+        lead_dim, T, B, obs_shape = infer_leading_dims(observation, 1)
+        x = observation.reshape(T, B, obs_shape[0]).astype(jnp.float32)
+        x = MlpModel(self.hidden_sizes,
+                     compute_dtype=self.compute_dtype)(x)
+        pa = jax.nn.one_hot(prev_action.reshape(T, B), self.n_actions,
+                            dtype=x.dtype)
+        pr = prev_reward.reshape(T, B, 1).astype(x.dtype)
+        lstm_in = jnp.concatenate([x, pa, pr], axis=-1)
+        done_tb = (jnp.zeros((T, B), jnp.bool_) if done is None
+                   else done.reshape(T, B))
+        y, next_state = LstmCore(self.lstm_size)(lstm_in, done_tb, rnn_state)
+        y = y.reshape(T * B, -1)
+        if self.dueling:
+            q = DuelingHead(self.hidden_sizes, self.n_actions,
+                            self.compute_dtype)(y)
+        else:
+            q = MlpModel(self.hidden_sizes, self.n_actions,
+                         compute_dtype=self.compute_dtype)(y)
+        return restore_leading_dims(q, lead_dim, T, B), next_state
