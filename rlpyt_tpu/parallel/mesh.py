@@ -1,0 +1,128 @@
+"""Device-mesh resource mapping — the TPU-native replacement for rlpyt's
+affinity system (reference: rlpyt/utils/launching/affinity.py:make_affinity,
+encode_affinity, affinity_from_code ~L20-300) and its multi-GPU runners
+(rlpyt/runners/sync_rl.py:SyncRlMixin — torch.distributed + DDP).
+
+rlpyt maps CPUs/GPUs to master/worker/optimizer roles via encoded affinity
+strings because its parallelism is processes + NCCL.  On TPU the whole
+assignment collapses to a `jax.sharding.Mesh` with named axes:
+
+- ``dp``  — data parallel: envs, replay lanes, and sample batches are
+  sharded along their B axis; gradient all-reduce is inserted by GSPMD
+  over ICI (replaces DistributedDataParallel).
+- ``mp``  — model/tensor parallel: large layers sharded over hidden dims
+  (beyond reference parity — rlpyt has no model parallelism).
+
+Everything runs under one jitted program; placing the carry with these
+shardings is all that's needed — XLA propagates and inserts collectives.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass
+class MeshSpec:
+    """Declarative hardware mapping (replaces rlpyt affinity codes).
+
+    ``dp``: data-parallel axis size (-1 = all remaining devices).
+    ``mp``: model/tensor-parallel axis size.
+    """
+
+    dp: int = -1
+    mp: int = 1
+
+    def make(self, devices: Optional[Sequence[Any]] = None) -> Mesh:
+        devices = list(devices if devices is not None else jax.devices())
+        n = len(devices)
+        dp = self.dp if self.dp > 0 else max(1, n // self.mp)
+        assert dp * self.mp <= n, (
+            f"mesh {dp}x{self.mp} needs {dp * self.mp} devices, have {n}")
+        arr = np.array(devices[: dp * self.mp]).reshape(dp, self.mp)
+        return Mesh(arr, ("dp", "mp"))
+
+
+def make_mesh(dp: int = -1, mp: int = 1, devices=None) -> Mesh:
+    return MeshSpec(dp=dp, mp=mp).make(devices)
+
+
+# ---------------------------------------------------------------------------
+# Sharding constructors.  Rule of thumb for rlpyt-shape states:
+# rollout leaves are [B, ...] (batch axis 0); replay leaves are
+# [size_T, B, ...] (batch axis 1); train/optimizer states are replicated
+# (or tp-sharded via shard_params).
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: int, ndim: int) -> NamedSharding:
+    spec = [None] * ndim
+    spec[axis] = "dp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def _leaf_sharding(leaf, B: int, mesh: Mesh, axis: int) -> NamedSharding:
+    shape = getattr(leaf, "shape", ())
+    if len(shape) > axis and shape[axis] == B and B % mesh.shape["dp"] == 0:
+        return batch_sharding(mesh, axis, len(shape))
+    return replicated(mesh)
+
+
+def shard_batch_tree(tree, B: int, mesh: Mesh, axis: int = 0):
+    """Per-leaf NamedSharding pytree: 'dp' on ``axis`` where that dim == B,
+    replicated otherwise (scalars, traj stats, cursors)."""
+    return jax.tree.map(lambda l: _leaf_sharding(l, B, mesh, axis), tree)
+
+
+def rollout_sharding(mesh: Mesh, rollout_state, B: int):
+    """RolloutState → shardings: env/obs/prev/carry lanes split over dp."""
+    return shard_batch_tree(rollout_state, B, mesh, axis=0)
+
+
+def replay_sharding(mesh: Mesh, replay_state, B: int):
+    """Replay states ([size_T, B, ...] rings, [n_slots, B] priorities) →
+    lanes split over dp (replaces rlpyt's shared-memory replay: each dp
+    shard owns B/dp collection lanes, exactly like rlpyt's per-process
+    buffer slices, but with sampling collectives compiled by XLA)."""
+    return shard_batch_tree(replay_state, B, mesh, axis=1)
+
+
+def carry_sharding(mesh: Mesh, carry, B: int):
+    """Shardings for a runners.train.TrainCarry."""
+    from rlpyt_tpu.runners.train import TrainCarry  # cycle guard
+
+    return TrainCarry(
+        rollout_state=rollout_sharding(mesh, carry.rollout_state, B),
+        train_state=jax.tree.map(lambda _: replicated(mesh),
+                                 carry.train_state),
+        replay_state=replay_sharding(mesh, carry.replay_state, B),
+        algo_key=replicated(mesh),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (beyond reference parity): column-shard dense/conv
+# output dims over 'mp'.  XLA inserts the matching all-reduces.
+
+def shard_params(params, mesh: Mesh, min_size: int = 1 << 16):
+    """NamedSharding pytree for a flax params tree: 2D+ kernels with a
+    large, mp-divisible output dim are column-sharded over 'mp'; everything
+    else replicated.  With mp=1 this is all-replicated (pure dp)."""
+    mp = mesh.shape["mp"]
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        if (mp > 1 and len(shape) >= 2 and shape[-1] % mp == 0
+                and math.prod(shape) >= min_size):
+            spec = [None] * (len(shape) - 1) + ["mp"]
+            return NamedSharding(mesh, P(*spec))
+        return replicated(mesh)
+
+    return jax.tree.map(rule, params)

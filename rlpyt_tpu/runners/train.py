@@ -113,6 +113,7 @@ class MinibatchRl:
                     carry.rollout_state))
             return carry, opt_infos, traj_stats
 
+        self._interval_fn = run_interval  # kept for re-jitting (SyncRl)
         self._run_interval = jax.jit(run_interval, donate_argnums=0)
 
         if self.eval_env is not None:
