@@ -1,21 +1,21 @@
-"""Headline benchmark — env-steps/s/chip for the fused rollout+learn loop.
+"""Headline benchmark — env-steps/s/chip for the fused rollout+learn loop
+on the Atari-class flagship config (MinAtar Breakout DQN, conv model,
+HBM replay; the BASELINE.json "Breakout" configuration on the on-device
+deterministic env path).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference baseline (BASELINE.md) is rlpyt's serial sampler throughput
-for a small-model env on CPU — the configuration of reference
-examples/example_1.py.  rlpyt's serial path steps envs one python call at
-a time with a per-step model forward; measured rlpyt-class serial
-throughput for MLP policies is ~2e3 env-steps/s (BASELINE.md "operative
-baseline is to be measured"; this constant is the stand-in until the
-reference mount is populated).  Target from BASELINE.json: >=10x per chip.
+Baseline: rlpyt's serial-sampler Atari DQN steps ~1-2k env-steps/s
+(examples/example_1.py class; BASELINE.md "operative baseline is to be
+measured" — the constant below is the documented stand-in until the
+reference mount is populated).  Target: >=10x per chip.
 """
 from __future__ import annotations
 
 import json
 import time
 
-RLPYT_SERIAL_STEPS_PER_S = 2_000.0  # see BASELINE.md (estimate, to re-measure)
+RLPYT_SERIAL_ATARI_STEPS_PER_S = 2_000.0  # BASELINE.md (estimate)
 
 
 def main():
@@ -23,30 +23,33 @@ def main():
 
     from rlpyt_tpu.agents.dqn import DqnAgent
     from rlpyt_tpu.algos.dqn import DQN
-    from rlpyt_tpu.envs.classic import CartPole
-    from rlpyt_tpu.models.dqn import DqnMlpModel
+    from rlpyt_tpu.envs.minatar import Breakout
+    from rlpyt_tpu.models.dqn import AtariDqnModel
     from rlpyt_tpu.runners.train import MinibatchRl
     from rlpyt_tpu.samplers.rollout import BatchSpec
 
-    B, T = 1024, 32
-    agent = DqnAgent(ModelCls=DqnMlpModel,
-                     model_kwargs=dict(hidden_sizes=(256, 256)),
-                     eps_steps=100_000)
-    algo = DQN(batch_size=512, min_steps_learn=0, replay_size=1_000_000,
-               replay_ratio=1.0, target_update_interval=300,
-               learning_rate=5e-4)
-    runner = MinibatchRl(algo=algo, agent=agent, env=CartPole(),
+    B, T = 256, 32
+    agent = DqnAgent(
+        ModelCls=AtariDqnModel,
+        model_kwargs=dict(channels=(16,), kernel_sizes=(3,), strides=(1,),
+                          paddings=(0,), fc_sizes=(128,)),
+        eps_steps=250_000, eps_final=0.1)
+    algo = DQN(discount=0.99, batch_size=256, min_steps_learn=0,
+               replay_size=500_000, replay_ratio=1.0,
+               target_update_interval=500, learning_rate=3e-4,
+               double_dqn=True, n_step_return=3)
+    runner = MinibatchRl(algo=algo, agent=agent, env=Breakout(),
                          batch_spec=BatchSpec(T=T, B=B),
-                         n_steps=10 * T * B, seed=0,
+                         n_steps=20 * T * B, seed=0,
                          log_interval_steps=T * B,
-                         max_decorrelation_steps=50)
+                         max_decorrelation_steps=100)
     carry = runner.startup()
 
     # warmup (compile + first interval)
     carry, _, _ = runner._run_interval(carry)
     jax.block_until_ready(carry.train_state.params)
 
-    n_intervals = 8
+    n_intervals = 10
     t0 = time.perf_counter()
     for _ in range(n_intervals):
         carry, opt_infos, traj_stats = runner._run_interval(carry)
@@ -56,11 +59,11 @@ def main():
     steps = n_intervals * runner.itrs_per_interval * T * B
     sps = steps / dt
     print(json.dumps({
-        "metric": "env-steps/s/chip (CartPole DQN fused rollout+learn, "
-                  f"B={B}, replay_ratio=1)",
+        "metric": "env-steps/s/chip (MinAtar-Breakout DQN fused "
+                  f"rollout+learn, conv model, B={B}, replay_ratio=1)",
         "value": round(sps, 1),
         "unit": "env-steps/s",
-        "vs_baseline": round(sps / RLPYT_SERIAL_STEPS_PER_S, 2),
+        "vs_baseline": round(sps / RLPYT_SERIAL_ATARI_STEPS_PER_S, 2),
     }))
 
 

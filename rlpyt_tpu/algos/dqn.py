@@ -56,6 +56,8 @@ class DQN(RlAlgorithm):
         prioritized_replay: bool = False,
         pri_alpha: float = 0.6,
         pri_beta: float = 0.4,
+        frame_buffer: bool = False,
+        frames_per_obs: int = 4,
         optim_kwargs: dict | None = None,
     ):
         self.discount = discount
@@ -73,6 +75,8 @@ class DQN(RlAlgorithm):
         self.prioritized_replay = prioritized_replay
         self.pri_alpha = pri_alpha
         self.pri_beta = pri_beta
+        self.frame_buffer = frame_buffer
+        self.frames_per_obs = frames_per_obs
         self.optim_kwargs = dict(optim_kwargs or {})
 
     # ------------------------------------------------------------------
@@ -96,13 +100,26 @@ class DQN(RlAlgorithm):
             opt_state=self.optimizer.init(params),
             update_counter=jnp.zeros((), jnp.int32),
         )
-        ReplayCls = (PrioritizedReplayBuffer if self.prioritized_replay
-                     else UniformReplayBuffer)
+        # ReplayCls selection over (uniform|prioritized) × (flat|frame)
+        # (rlpyt DQN.initialize ReplayCls table ~L100).
+        if self.frame_buffer:
+            from rlpyt_tpu.replay.frame import (
+                PrioritizedFrameReplayBuffer,
+                UniformFrameReplayBuffer,
+            )
+            ReplayCls = (PrioritizedFrameReplayBuffer
+                         if self.prioritized_replay
+                         else UniformFrameReplayBuffer)
+        else:
+            ReplayCls = (PrioritizedReplayBuffer if self.prioritized_replay
+                         else UniformReplayBuffer)
         kwargs = dict(size=self.replay_size, B=batch_spec.B,
                       sample_T=batch_spec.T, discount=self.discount,
                       n_step_return=self.n_step)
         if self.prioritized_replay:
             kwargs.update(alpha=self.pri_alpha, beta=self.pri_beta)
+        if self.frame_buffer:
+            kwargs.update(frames_per_obs=self.frames_per_obs)
         self.replay = ReplayCls(**kwargs)
 
         example = SamplesToBuffer(

@@ -1,0 +1,59 @@
+"""MinAtar DQN-family configs (reference config-dict schema:
+rlpyt/experiments/configs/atari/dqn/atari_dqn.py → configs["dqn"],
+["ernbw"], ["r2d1"] — same section keys: agent / model / algo / env /
+runner / sampler).
+
+The "ernbw" key is the reference's Rainbow-minus-noisy combo
+(Categorical + Double + Dueling + PER + n-step); "r2d1" the recurrent
+prioritized-sequence config.
+"""
+import copy
+
+MINATAR_MODEL = dict(channels=(16,), kernel_sizes=(3,), strides=(1,),
+                     paddings=(0,), fc_sizes=(128,), obs_divisor=1.0)
+
+configs = {}
+
+config = dict(
+    agent=dict(eps_steps=100_000, eps_final=0.1, eval_eps=0.001),
+    model=dict(**MINATAR_MODEL, dueling=False),
+    algo=dict(
+        discount=0.99,
+        batch_size=128,
+        min_steps_learn=5_000,
+        delta_clip=1.0,
+        replay_size=500_000,
+        replay_ratio=4.0,
+        target_update_interval=500,
+        n_step_return=3,
+        learning_rate=3e-4,
+        double_dqn=True,
+        prioritized_replay=False,
+    ),
+    env=dict(game="breakout", sticky_action_prob=0.1, ramping=True),
+    eval_env=dict(game="breakout", sticky_action_prob=0.1, ramping=True),
+    runner=dict(n_steps=2_000_000, log_interval_steps=100_000),
+    sampler=dict(batch_T=32, batch_B=64, max_decorrelation_steps=100),
+)
+configs["dqn"] = config
+
+config = copy.deepcopy(config)
+config["model"]["dueling"] = True
+config["algo"].update(prioritized_replay=True, pri_alpha=0.5,
+                      pri_beta=0.4)
+config["agent"].update(n_atoms=51, v_min=-10.0, v_max=10.0)
+configs["ernbw"] = config
+
+config = copy.deepcopy(configs["dqn"])
+config["model"] = dict(**MINATAR_MODEL)
+config["model"]["lstm_size"] = 128
+del config["model"]["fc_sizes"]
+config["agent"] = dict(eps_steps=100_000, eps_final=0.1,
+                       eps_final_min=0.0005, lstm_size=128)
+config["algo"] = dict(
+    discount=0.997, batch_b=32, batch_T=40, warmup_T=20,
+    min_steps_learn=5_000, replay_size=500_000, replay_ratio=1.0,
+    target_update_interval=1_000, n_step_return=5, learning_rate=1e-4,
+    double_dqn=True, prioritized_replay=True, pri_alpha=0.6,
+    pri_beta=0.9, pri_eta=0.9, input_priorities=True)
+configs["r2d1"] = config

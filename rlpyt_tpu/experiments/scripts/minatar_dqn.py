@@ -1,0 +1,91 @@
+"""MinAtar DQN-family train script (reference:
+rlpyt/experiments/scripts/atari/dqn/train/atari_dqn.py:build_and_train —
+decode affinity, load variant, update_config, construct
+Sampler/Algo/Agent/Runner, logger_context, runner.train()).
+
+The affinity code argv is replaced by a MeshSpec; everything else keeps
+the reference's flow: ``python -m rlpyt_tpu.experiments.scripts.minatar_dqn
+[log_dir] [run_id] [config_key]``.
+"""
+from __future__ import annotations
+
+import copy
+import sys
+
+from rlpyt_tpu.agents.dqn import CatDqnAgent, DqnAgent, R2d1Agent
+from rlpyt_tpu.algos.cat_dqn import CategoricalDQN
+from rlpyt_tpu.algos.dqn import DQN
+from rlpyt_tpu.algos.r2d1 import R2D1
+from rlpyt_tpu.envs.minatar import make_minatar
+from rlpyt_tpu.experiments.configs.minatar_dqn import configs
+from rlpyt_tpu.models.dqn import (
+    AtariCatDqnModel,
+    AtariDqnModel,
+    AtariR2d1Model,
+)
+from rlpyt_tpu.runners.sync import SyncRl
+from rlpyt_tpu.runners.train import MinibatchRl
+from rlpyt_tpu.samplers.rollout import BatchSpec
+from rlpyt_tpu.utils.logging import TabularLogger, logger_context
+from rlpyt_tpu.utils.variant import load_variant, update_config
+
+
+def build_and_train(config_key: str = "dqn", log_dir=None, run_id: int = 0,
+                    mesh=None, seed: int = 0, variant=None,
+                    config_overrides=None):
+    config = copy.deepcopy(configs[config_key])
+    if variant is not None:
+        config = update_config(config, variant)
+    if config_overrides:
+        config = update_config(config, config_overrides)
+
+    game = config["env"].pop("game")
+    env = make_minatar(game, **config["env"])
+
+    if config_key == "r2d1":
+        agent = R2d1Agent(ModelCls=AtariR2d1Model,
+                          model_kwargs=config["model"], **config["agent"])
+        algo = R2D1(**config["algo"])
+    elif "n_atoms" in config.get("agent", {}):
+        agent_kwargs = dict(config["agent"])
+        model_kwargs = dict(config["model"])
+        model_kwargs["n_atoms"] = agent_kwargs.get("n_atoms", 51)
+        agent = CatDqnAgent(ModelCls=AtariCatDqnModel,
+                            model_kwargs=model_kwargs, **agent_kwargs)
+        algo = CategoricalDQN(**config["algo"])
+    else:
+        agent = DqnAgent(ModelCls=AtariDqnModel,
+                         model_kwargs=config["model"], **config["agent"])
+        algo = DQN(**config["algo"])
+
+    sampler = config["sampler"]
+    RunnerCls = MinibatchRl if mesh is None else SyncRl
+    runner_kwargs = dict(
+        algo=algo, agent=agent, env=env,
+        batch_spec=BatchSpec(sampler["batch_T"], sampler["batch_B"]),
+        max_decorrelation_steps=sampler.get("max_decorrelation_steps", 100),
+        seed=seed, **config["runner"])
+    if mesh is not None:
+        runner_kwargs["mesh"] = mesh
+
+    if log_dir is not None:
+        with logger_context(log_dir, run_id, f"minatar_{game}_{config_key}",
+                            config=config) as logger:
+            runner = RunnerCls(logger=logger, **runner_kwargs)
+            carry = runner.train()
+    else:
+        runner = RunnerCls(**runner_kwargs)
+        carry = runner.train()
+    return runner, carry
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    log_dir = args[0] if len(args) > 0 else None
+    run_id = int(args[1]) if len(args) > 1 else 0
+    config_key = args[2] if len(args) > 2 else "dqn"
+    import os
+    variant = (load_variant(log_dir)
+               if log_dir and os.path.exists(
+                   os.path.join(log_dir, "variant.json")) else None)
+    build_and_train(config_key, log_dir, run_id, variant=variant)

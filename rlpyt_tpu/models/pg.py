@@ -31,13 +31,14 @@ class AtariFfModel(nn.Module):
     kernel_sizes: Sequence[int] = ATARI_KERNELS
     strides: Sequence[int] = ATARI_STRIDES
     paddings: Sequence[int] = ATARI_PADDINGS
+    obs_divisor: float = 255.0  # 1.0 for binary MinAtar planes
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, observation, prev_action=None, prev_reward=None):
         lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
         img = observation.reshape((T * B,) + img_shape)
-        img = img.astype(self.compute_dtype) * (1.0 / 255.0)
+        img = img.astype(self.compute_dtype) * (1.0 / self.obs_divisor)
         x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
                         self.paddings, compute_dtype=self.compute_dtype)(img)
         x = x.reshape(T * B, -1)
@@ -58,6 +59,7 @@ class AtariLstmModel(nn.Module):
     kernel_sizes: Sequence[int] = ATARI_KERNELS
     strides: Sequence[int] = ATARI_STRIDES
     paddings: Sequence[int] = ATARI_PADDINGS
+    obs_divisor: float = 255.0  # 1.0 for binary MinAtar planes
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -65,7 +67,7 @@ class AtariLstmModel(nn.Module):
                  rnn_state: RnnState, done=None):
         lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
         img = observation.reshape((T * B,) + img_shape)
-        img = img.astype(self.compute_dtype) * (1.0 / 255.0)
+        img = img.astype(self.compute_dtype) * (1.0 / self.obs_divisor)
         x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
                         self.paddings, compute_dtype=self.compute_dtype)(img)
         x = x.reshape(T * B, -1)

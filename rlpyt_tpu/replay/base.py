@@ -132,6 +132,14 @@ class BaseReplayBuffer:
         b_idx = jax.random.randint(k_b, (batch_size,), 0, self.B)
         return t_idx, b_idx
 
+    def _obs_at(self, state: ReplayState, t_idx: jax.Array,
+                b_idx: jax.Array, k: int):
+        """Observation gather hook — overridden by the frame-compressed
+        buffers (replay/frame.py) to reconstruct frame stacks."""
+        return jax.tree.map(
+            lambda l: l[(t_idx + k) % self.size_T, b_idx],
+            state.data.observation)
+
     def extract_batch(self, state: ReplayState, t_idx: jax.Array,
                       b_idx: jax.Array,
                       is_weights: jax.Array | None = None
@@ -143,7 +151,7 @@ class BaseReplayBuffer:
         def at(leaf, k=0):
             return leaf[(t_idx + k) % self.size_T, b_idx]
 
-        obs = jax.tree.map(lambda l: at(l, 0), d.observation)
+        obs = self._obs_at(state, t_idx, b_idx, 0)
         action = at(d.action)
         prev_action = at(d.action, -1)
         prev_reward = at(d.reward, -1)
@@ -159,8 +167,7 @@ class BaseReplayBuffer:
             timeout_n = timeout_n | (at(d.timeout, k) & ~done_n)
             done_n = done_n | at(d.done, k)
 
-        target_obs = jax.tree.map(
-            lambda l: at(l, self.n_step), d.observation)
+        target_obs = self._obs_at(state, t_idx, b_idx, self.n_step)
         target_prev_action = at(d.action, self.n_step - 1)
         target_prev_reward = at(d.reward, self.n_step - 1)
 

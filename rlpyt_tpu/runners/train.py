@@ -12,6 +12,7 @@ donated, so HBM is never copied between intervals.
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Any, NamedTuple, Optional, Tuple
 
@@ -54,6 +55,7 @@ class MinibatchRl:
         eval_max_steps: int = 2500,
         logger: Optional[TabularLogger] = None,
         env_params=None,
+        checkpoint_dir: Optional[str] = None,
     ):
         self.algo = algo
         self.agent = agent
@@ -68,6 +70,7 @@ class MinibatchRl:
         self.eval_max_steps = eval_max_steps
         self.logger = logger or TabularLogger(None)
         self.env_params = env_params
+        self.checkpoint_dir = checkpoint_dir
 
     # ------------------------------------------------------------------
 
@@ -134,16 +137,26 @@ class MinibatchRl:
 
     # ------------------------------------------------------------------
 
-    def train(self) -> TrainCarry:
+    def train(self, resume_from: Optional[str] = None) -> TrainCarry:
+        """Run to n_steps.  ``resume_from``: path of a full-carry
+        checkpoint — resume is bitwise deterministic (the carry holds
+        params, opt/replay/env state, and RNG keys; SURVEY.md §5.4)."""
         carry = self.startup()
         steps_per_interval = self.itrs_per_interval * self.batch_spec.size
         n_intervals = max(1, math.ceil(self.n_itr / self.itrs_per_interval))
+        start_interval = 0
+        if resume_from is not None:
+            from rlpyt_tpu.utils.checkpoint import load_checkpoint
+            carry, meta = load_checkpoint(resume_from, like=carry)
+            start_interval = int(meta.get("interval", 0))
+            self.logger.log(f"Resumed from {resume_from} "
+                            f"(interval {start_interval})")
         self.logger.log(
             f"Training: {self.n_itr} itrs ({self.n_steps} steps), "
             f"{n_intervals} intervals x {self.itrs_per_interval} itrs")
         t_start = time.time()
-        cum_steps = 0
-        for interval in range(n_intervals):
+        cum_steps = start_interval * steps_per_interval
+        for interval in range(start_interval, n_intervals):
             t0 = time.time()
             carry, opt_infos, traj_stats = self._run_interval(carry)
             jax.block_until_ready(carry.train_state.params)
@@ -155,6 +168,12 @@ class MinibatchRl:
             self.logger.save_itr_params(
                 itr, {"params": carry.train_state.params, "itr": itr,
                       "cum_steps": cum_steps})
+            if self.checkpoint_dir is not None:
+                from rlpyt_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(
+                    os.path.join(self.checkpoint_dir, "checkpoint.pkl"),
+                    carry, {"interval": interval + 1,
+                            "cum_steps": cum_steps, "itr": itr})
             if self.eval_env is not None:
                 k_eval = jax.random.fold_in(jax.random.key(self.seed + 1),
                                             interval)

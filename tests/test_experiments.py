@@ -1,0 +1,107 @@
+"""Config/variant system + experiment scripts (smoke: tiny budgets)."""
+import json
+import os
+
+import pytest
+
+from rlpyt_tpu.utils.variant import (
+    VariantLevel,
+    load_variant,
+    make_variants,
+    save_variant,
+    update_config,
+)
+
+
+def test_update_config_deep_merge():
+    default = dict(algo=dict(lr=1e-3, batch=32), env=dict(game="breakout"))
+    variant = dict(algo=dict(lr=5e-4), runner=dict(n_steps=100))
+    out = update_config(default, variant)
+    assert out["algo"]["lr"] == 5e-4
+    assert out["algo"]["batch"] == 32          # untouched sibling
+    assert out["runner"]["n_steps"] == 100     # new section allowed
+    assert default["algo"]["lr"] == 1e-3       # default not mutated
+
+
+def test_make_variants_cross_product(tmp_path):
+    lr_level = VariantLevel(
+        keys=[("algo", "lr")], values=[[1e-3], [5e-4]],
+        dir_names=["lr1e3", "lr5e4"])
+    game_level = VariantLevel(
+        keys=[("env", "game")], values=[["breakout"], ["freeway"]],
+        dir_names=["breakout", "freeway"])
+    variants, log_dirs = make_variants(lr_level, game_level)
+    assert len(variants) == 4
+    assert log_dirs[0] == os.path.join("lr1e3", "breakout")
+    assert variants[3] == {"algo": {"lr": 5e-4}, "env": {"game": "freeway"}}
+    d = tmp_path / "run"
+    save_variant(variants[3], str(d))
+    assert load_variant(str(d)) == variants[3]
+
+
+def test_configs_importable():
+    from rlpyt_tpu.experiments.configs.minatar_dqn import configs as dqn_cfgs
+    from rlpyt_tpu.experiments.configs.minatar_pg import configs as pg_cfgs
+    assert set(dqn_cfgs) == {"dqn", "ernbw", "r2d1"}
+    assert set(pg_cfgs) == {"a2c", "ppo"}
+    for cfg in list(dqn_cfgs.values()) + list(pg_cfgs.values()):
+        assert {"agent", "model", "algo", "env", "runner",
+                "sampler"} <= set(cfg)
+
+
+@pytest.mark.slow
+def test_dqn_script_smoke(tmp_path):
+    from rlpyt_tpu.experiments.scripts.minatar_dqn import build_and_train
+    overrides = dict(
+        runner=dict(n_steps=4_096, log_interval_steps=2_048),
+        sampler=dict(batch_T=16, batch_B=8),
+        algo=dict(min_steps_learn=256, replay_size=8_192, replay_ratio=1.0),
+    )
+    runner, carry = build_and_train(
+        "dqn", log_dir=str(tmp_path), run_id=3,
+        config_overrides=overrides)
+    run_dir = tmp_path / "run_3"
+    assert (run_dir / "progress.csv").exists()
+    assert (run_dir / "params.json").exists()
+    assert (run_dir / "debug.log").exists()
+    assert (run_dir / "params.pkl").exists()     # snapshot_mode="last"
+    rows = (run_dir / "progress.csv").read_text().strip().splitlines()
+    assert len(rows) >= 2                        # header + >=1 interval
+    cfg = json.loads((run_dir / "params.json").read_text())
+    assert cfg["runner"]["n_steps"] == 4_096
+
+
+@pytest.mark.slow
+def test_ernbw_script_smoke():
+    from rlpyt_tpu.experiments.scripts.minatar_dqn import build_and_train
+    overrides = dict(
+        runner=dict(n_steps=2_048, log_interval_steps=2_048),
+        sampler=dict(batch_T=16, batch_B=8),
+        algo=dict(min_steps_learn=256, replay_size=8_192, replay_ratio=1.0),
+    )
+    runner, carry = build_and_train("ernbw", config_overrides=overrides)
+    assert int(carry.rollout_state.cum_steps) >= 2_048
+
+
+@pytest.mark.slow
+def test_r2d1_script_smoke():
+    from rlpyt_tpu.experiments.scripts.minatar_dqn import build_and_train
+    overrides = dict(
+        runner=dict(n_steps=2_048, log_interval_steps=2_048),
+        sampler=dict(batch_T=16, batch_B=8),
+        algo=dict(min_steps_learn=256, replay_size=8_192, replay_ratio=0.5,
+                  batch_b=4, batch_T=8, warmup_T=4),
+    )
+    runner, carry = build_and_train("r2d1", config_overrides=overrides)
+    assert int(carry.rollout_state.cum_steps) >= 2_048
+
+
+@pytest.mark.slow
+def test_ppo_script_smoke():
+    from rlpyt_tpu.experiments.scripts.minatar_pg import build_and_train
+    overrides = dict(
+        runner=dict(n_steps=2_048, log_interval_steps=1_024),
+        sampler=dict(batch_T=16, batch_B=16),
+    )
+    runner, carry = build_and_train("ppo", config_overrides=overrides)
+    assert int(carry.rollout_state.cum_steps) >= 2_048
