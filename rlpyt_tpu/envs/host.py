@@ -1,0 +1,257 @@
+"""Host-environment bridge (reference: rlpyt/envs/gym.py:GymEnvWrapper +
+rlpyt/samplers/parallel/ worker/shared-memory machinery —
+samplers/parallel/base.py:ParallelSamplerBase, worker.py:sampling_process,
+gpu/action_server.py:ActionServer).
+
+Non-JAX environments (gymnasium MuJoCo, ALE, any C++ simulator) cannot
+live inside jit.  This module is the host side of the actor loop:
+
+- ``GymEnv``: one gymnasium env normalized to the framework contract —
+  EnvStep(obs, reward, done, info) with a **static info schema**
+  (``timeout`` for TimeLimit truncation, feeding the time-limit-aware
+  replay path, as rlpyt's EnvInfoWrapper + TlReplay did).
+- ``SharedMemVecEnv``: B envs across W forked worker processes writing
+  observations into OS-shared numpy blocks, synchronized per step by
+  per-worker event pairs — the same topology as rlpyt's GpuSampler
+  (workers step envs; the master batches policy inference), with CPU
+  pinning like rlpyt's affinity system.  The master never copies obs:
+  the shared block is handed to ``jax.device_put`` directly.
+- ``SerialVecEnv``: in-process fallback (rlpyt SerialSampler parity,
+  and the debugging reference path).
+
+The device side of this bridge is ``runners/host.py:HostMinibatchRl``.
+"""
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from rlpyt_tpu.envs.gym_space import convert_gym_space
+from rlpyt_tpu.envs.base import EnvSpaces
+
+
+class GymEnv:
+    """(rlpyt/envs/gym.py:GymEnvWrapper ~L10).  Wraps one gymnasium env:
+    merges terminated/truncated into ``done`` + ``timeout`` info flag;
+    auto-seeds per reset call."""
+
+    def __init__(self, id_or_env, **kwargs):
+        if isinstance(id_or_env, str):
+            import gymnasium
+            self.env = gymnasium.make(id_or_env, **kwargs)
+        else:
+            self.env = id_or_env
+        self.observation_space = convert_gym_space(self.env.observation_space)
+        self.action_space = convert_gym_space(self.env.action_space)
+
+    @property
+    def spaces(self) -> EnvSpaces:
+        return EnvSpaces(self.observation_space, self.action_space)
+
+    def reset(self, seed: Optional[int] = None) -> np.ndarray:
+        obs, _ = self.env.reset(seed=seed)
+        return np.asarray(obs)
+
+    def step(self, action) -> Tuple[np.ndarray, float, bool, bool]:
+        obs, reward, terminated, truncated, _ = self.env.step(action)
+        return np.asarray(obs), float(reward), bool(terminated), bool(truncated)
+
+    def close(self):
+        self.env.close()
+
+
+# ---------------------------------------------------------------------------
+
+CMD_STEP, CMD_RESET, CMD_CLOSE = 0, 1, 2
+
+
+def _make_env(spec) -> "GymEnv":
+    """spec: a gym id string (picklable → spawn-safe) or a callable."""
+    if isinstance(spec, str):
+        return GymEnv(spec)
+    env = spec()
+    return env if isinstance(env, GymEnv) else GymEnv(env)
+
+
+def _worker(env_fns, lo, hi, shm, cmd, act_ready, obs_ready, seed,
+            cpu: Optional[int]):
+    """(rlpyt/samplers/parallel/worker.py:sampling_process ~L10): own a
+    slice [lo, hi) of envs, loop on the event pair, auto-reset on done."""
+    if cpu is not None:
+        try:
+            os.sched_setaffinity(0, {cpu})
+        except OSError:
+            pass
+    envs = [_make_env(fn) for fn in env_fns[lo:hi]]
+    obs_np, act_np, rew_np, done_np, timeout_np = (
+        spec.view() for spec in shm)
+    while True:
+        act_ready.wait()
+        act_ready.clear()
+        c = int(cmd.value)
+        if c == CMD_CLOSE:
+            for e in envs:
+                e.close()
+            obs_ready.set()
+            return
+        for i, env in enumerate(envs):
+            b = lo + i
+            if c == CMD_RESET:
+                obs_np[b] = env.reset(seed=seed + b)
+                rew_np[b] = 0.0
+                done_np[b] = False
+                timeout_np[b] = False
+            else:
+                obs, rew, terminated, truncated = env.step(act_np[b])
+                done = terminated or truncated
+                if done:  # auto-reset (CpuResetCollector semantics)
+                    obs = env.reset()
+                obs_np[b] = obs
+                rew_np[b] = rew
+                done_np[b] = done
+                timeout_np[b] = truncated and not terminated
+        obs_ready.set()
+
+
+class _ShmSpec:
+    """RawArray handle + shape/dtype — picklable for spawn workers, which
+    rebuild numpy views over the same shared pages (the spawn-safe form
+    of rlpyt's np_mp_array, utils/buffer.py ~L60)."""
+
+    def __init__(self, shape, dtype, ctx):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        size = max(1, int(np.prod(shape)) * self.dtype.itemsize)
+        self.raw = ctx.RawArray("b", size)
+
+    def view(self) -> np.ndarray:
+        return np.frombuffer(self.raw, dtype=self.dtype).reshape(self.shape)
+
+
+class SharedMemVecEnv:
+    """B host envs over W workers + shared-memory step buffers
+    (rlpyt ParallelSamplerBase.initialize ~L40: n_envs_list, shared
+    buffer, fork; synchronization per step like the GPU action server's
+    obs_ready/act_ready semaphore pairs)."""
+
+    def __init__(self, env_fns: Sequence, n_workers: int = 0,
+                 seed: int = 0, cpus: Optional[Sequence[int]] = None,
+                 start_method: Optional[str] = None):
+        """``env_fns``: gym id strings (picklable → the farm uses
+        ``spawn``, safe after JAX initializes) or callables (requires
+        ``fork`` — create the farm BEFORE the first JAX computation)."""
+        self.B = len(env_fns)
+        probe = _make_env(env_fns[0])
+        self.spaces = probe.spaces
+        obs_shape = tuple(probe.observation_space.shape)
+        obs_dtype = np.dtype(str(probe.observation_space.null_value().dtype))
+        act_space = probe.action_space
+        act_shape = tuple(getattr(act_space, "shape", ()) or ())
+        act_dtype = np.dtype(str(act_space.null_value().dtype))
+        probe.close()
+
+        W = n_workers or min(self.B, os.cpu_count() or 1)
+        assert self.B % W == 0, f"B={self.B} must divide over {W} workers"
+        per = self.B // W
+        if start_method is None:
+            start_method = ("spawn" if all(isinstance(f, str)
+                                           for f in env_fns) else "fork")
+        ctx = mp.get_context(start_method)
+
+        specs = (
+            _ShmSpec((self.B,) + obs_shape, obs_dtype, ctx),
+            _ShmSpec((self.B,) + act_shape, act_dtype, ctx),
+            _ShmSpec((self.B,), np.float32, ctx),
+            _ShmSpec((self.B,), np.bool_, ctx),
+            _ShmSpec((self.B,), np.bool_, ctx),
+        )
+        self.obs, self.act, self.rew, self.done, self.timeout = (
+            sp.view() for sp in specs)
+        shm = specs
+        self._cmd = ctx.Value("i", CMD_STEP)
+        self._pairs = []
+        self._procs = []
+        for w in range(W):
+            act_ready, obs_ready = ctx.Event(), ctx.Event()
+            cpu = cpus[w % len(cpus)] if cpus else None
+            p = ctx.Process(
+                target=_worker,
+                args=(list(env_fns), w * per, (w + 1) * per, shm,
+                      self._cmd, act_ready, obs_ready, seed, cpu),
+                daemon=True)
+            p.start()
+            self._pairs.append((act_ready, obs_ready))
+            self._procs.append(p)
+        self.closed = False
+
+    def _signal_and_wait(self, cmd: int):
+        self._cmd.value = cmd
+        for act_ready, _ in self._pairs:
+            act_ready.set()
+        for _, obs_ready in self._pairs:
+            obs_ready.wait()
+            obs_ready.clear()
+
+    def reset(self) -> np.ndarray:
+        self._signal_and_wait(CMD_RESET)
+        return self.obs
+
+    def step(self, actions: np.ndarray):
+        """Write actions, step all workers, return views into shared
+        memory: (obs, reward, done, timeout)."""
+        self.act[...] = actions
+        self._signal_and_wait(CMD_STEP)
+        return self.obs, self.rew, self.done, self.timeout
+
+    def close(self):
+        if not self.closed:
+            self._signal_and_wait(CMD_CLOSE)
+            for p in self._procs:
+                p.join(timeout=5)
+            self.closed = True
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class SerialVecEnv:
+    """In-process vectorized host envs (rlpyt SerialSampler parity)."""
+
+    def __init__(self, env_fns: Sequence[Callable], seed: int = 0, **_):
+        self.envs = [_make_env(fn) for fn in env_fns]
+        self.B = len(self.envs)
+        self.spaces = self.envs[0].spaces
+        self.seed = seed
+        obs_shape = tuple(self.spaces.observation.shape)
+        obs_dtype = np.dtype(str(self.spaces.observation.null_value().dtype))
+        self.obs = np.zeros((self.B,) + obs_shape, obs_dtype)
+        self.rew = np.zeros((self.B,), np.float32)
+        self.done = np.zeros((self.B,), np.bool_)
+        self.timeout = np.zeros((self.B,), np.bool_)
+
+    def reset(self) -> np.ndarray:
+        for b, env in enumerate(self.envs):
+            self.obs[b] = env.reset(seed=self.seed + b)
+        return self.obs
+
+    def step(self, actions: np.ndarray):
+        for b, env in enumerate(self.envs):
+            obs, rew, terminated, truncated = env.step(actions[b])
+            done = terminated or truncated
+            if done:
+                obs = env.reset()
+            self.obs[b] = obs
+            self.rew[b] = rew
+            self.done[b] = done
+            self.timeout[b] = truncated and not terminated
+        return self.obs, self.rew, self.done, self.timeout
+
+    def close(self):
+        for env in self.envs:
+            env.close()

@@ -1,0 +1,208 @@
+"""Host-env training runner (reference: rlpyt/samplers/parallel/gpu/
+sampler.py:GpuSampler + action_server.py:ActionServer.serve_actions, and
+rlpyt/runners/minibatch_rl.py for the loop).
+
+For environments that live on the host (gymnasium MuJoCo, ALE), the
+rollout is a host loop: workers step envs into shared memory while the
+device runs one batched ``agent.step`` per timestep — exactly rlpyt's
+GPU action-server topology, with JAX async dispatch giving the overlap
+the reference built from semaphores.  Optimization consumes the
+assembled [T, B] batch with the same jitted ``algo.optimize`` used by
+the on-device path, so every algorithm works unchanged on host envs.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlpyt_tpu.agents.base import StepCtx
+from rlpyt_tpu.samplers.rollout import BatchSpec, Samples, TrajStats
+from rlpyt_tpu.utils.logging import TabularLogger
+
+
+class HostRolloutState(NamedTuple):
+    """Device-side view of the host rollout frontier — the fields algos
+    read from the on-device RolloutState (bootstrap obs, cum steps)."""
+
+    observation: Any
+    prev_action: Any
+    prev_reward: jax.Array
+    agent_carry: Any
+    cum_steps: jax.Array
+
+
+class HostMinibatchRl:
+    """Collect [T, B] batches from a host vec-env; optimize on device."""
+
+    def __init__(self, algo, agent, vec_env, batch_T: int, n_steps: int,
+                 seed: int = 0, log_interval_steps: int = int(1e5),
+                 logger: Optional[TabularLogger] = None,
+                 eval_vec_env=None, eval_max_steps: int = 2_500):
+        self.algo = algo
+        self.agent = agent
+        self.vec = vec_env
+        self.batch_spec = BatchSpec(batch_T, vec_env.B)
+        self.n_steps = int(n_steps)
+        self.seed = seed
+        self.log_interval_steps = int(log_interval_steps)
+        self.logger = logger or TabularLogger(None)
+        self.eval_vec = eval_vec_env
+        self.eval_max_steps = eval_max_steps
+
+    # ------------------------------------------------------------------
+
+    def startup(self):
+        key = jax.random.key(self.seed)
+        self._k_agent, self._k_algo, k_init = jax.random.split(key, 3)
+        self.agent.initialize(self.vec.spaces)
+        T, B = self.batch_spec
+        obs0 = np.array(self.vec.reset())
+        self.n_itr = max(1, math.ceil(self.n_steps / self.batch_spec.size))
+        self.itrs_per_interval = max(
+            1, self.log_interval_steps // self.batch_spec.size)
+
+        obs_dev = jnp.asarray(obs0)
+        train_state, replay_state = self.algo.initialize(
+            self.agent, self.batch_spec, obs_dev, k_init, n_itr=self.n_itr)
+
+        act_null = np.asarray(self.vec.spaces.action.null_value())
+        self._prev_action = np.broadcast_to(
+            act_null, (B,) + act_null.shape).copy()
+        self._prev_reward = np.zeros((B,), np.float32)
+        self._carry = self.agent.init_carry(B)
+
+        def step_fn(params, key, obs, prev_a, prev_r, carry, cum):
+            ctx = StepCtx(cum_steps=cum, is_eval=False)
+            return self.agent.step(params, key, obs, prev_a, prev_r,
+                                   carry, ctx)
+
+        self._step_fn = jax.jit(step_fn)
+        self._optimize = jax.jit(self.algo.optimize, donate_argnums=(0, 1))
+        self._cum_steps = 0
+        # trajectory accounting (host-side TrajInfo parity)
+        self._ep_ret = np.zeros((B,), np.float64)
+        self._ep_len = np.zeros((B,), np.int64)
+        self._ep_nz = np.zeros((B,), np.int64)
+        self._window = []
+        return train_state, replay_state
+
+    # ------------------------------------------------------------------
+
+    def _collect_batch(self, params):
+        """One [T, B] batch: the action-server loop
+        (rlpyt ActionServer.serve_actions ~L15)."""
+        T, B = self.batch_spec
+        (obs_l, act_l, rew_l, done_l, to_l, pa_l, pr_l,
+         info_l) = ([] for _ in range(8))
+        obs = self.vec.obs
+        for t in range(T):
+            self._k_agent, k = jax.random.split(self._k_agent)
+            obs_t = np.array(obs)  # snapshot before the env overwrites
+            astep, self._carry = self._step_fn(
+                params, k, jnp.asarray(obs_t),
+                jnp.asarray(self._prev_action),
+                jnp.asarray(self._prev_reward), self._carry,
+                jnp.asarray(self._cum_steps + t * B, jnp.int32))
+            actions = np.asarray(astep.action)
+            obs, rew, done, timeout = self.vec.step(actions)
+
+            obs_l.append(obs_t)
+            act_l.append(actions)
+            rew_l.append(np.array(rew))
+            done_l.append(np.array(done))
+            to_l.append(np.array(timeout))
+            pa_l.append(self._prev_action.copy())
+            pr_l.append(self._prev_reward.copy())
+            info_l.append({k_: np.asarray(v)
+                           for k_, v in astep.agent_info.items()})
+
+            # episode stats + prev for next step (auto-reset zeroing)
+            self._ep_ret += rew
+            self._ep_len += 1
+            self._ep_nz += (rew != 0)
+            for b in np.nonzero(done)[0]:
+                self._window.append((self._ep_ret[b], self._ep_len[b],
+                                     self._ep_nz[b]))
+                self._ep_ret[b] = self._ep_len[b] = self._ep_nz[b] = 0
+            self._prev_action = np.where(
+                done.reshape((B,) + (1,) * (actions.ndim - 1)),
+                np.zeros_like(actions), actions)
+            self._prev_reward = np.where(done, 0.0, rew).astype(np.float32)
+            if self.agent.recurrent:
+                self._carry = self.agent.reset_carry_where(
+                    jnp.asarray(done), self._carry)
+
+        self._cum_steps += T * B
+        agent_info = {}
+        if info_l and info_l[0]:
+            agent_info = {k_: jnp.asarray(np.stack([d[k_] for d in info_l]))
+                          for k_ in info_l[0]}
+        samples = Samples(
+            observation=jnp.asarray(np.stack(obs_l)),
+            action=jnp.asarray(np.stack(act_l)),
+            reward=jnp.asarray(np.stack(rew_l)),
+            done=jnp.asarray(np.stack(done_l)),
+            prev_action=jnp.asarray(np.stack(pa_l)),
+            prev_reward=jnp.asarray(np.stack(pr_l)),
+            agent_info=agent_info,
+            env_info={"timeout": jnp.asarray(np.stack(to_l))},
+        )
+        rollout_state = HostRolloutState(
+            observation=jnp.asarray(np.array(self.vec.obs)),
+            prev_action=jnp.asarray(self._prev_action),
+            prev_reward=jnp.asarray(self._prev_reward),
+            agent_carry=self._carry,
+            cum_steps=jnp.asarray(self._cum_steps, jnp.int32),
+        )
+        return samples, rollout_state
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        train_state, replay_state = self.startup()
+        T, B = self.batch_spec
+        t_start = time.time()
+        interval_itrs = 0
+        t0 = time.time()
+        for itr in range(self.n_itr):
+            samples, rollout_state = self._collect_batch(train_state.params)
+            self._k_algo, k = jax.random.split(self._k_algo)
+            train_state, replay_state, opt_info = self._optimize(
+                train_state, replay_state, samples, k, rollout_state)
+            interval_itrs += 1
+            if interval_itrs >= self.itrs_per_interval or itr == self.n_itr - 1:
+                jax.block_until_ready(train_state.params)
+                t1 = time.time()
+                self._log(itr + 1, t1 - t0, t1 - t_start, opt_info)
+                interval_itrs = 0
+                t0 = time.time()
+        return train_state, replay_state
+
+    def _log(self, itr, dt, total, opt_info):
+        rec = self.logger.record_tabular
+        rec("Iteration", itr)
+        rec("CumSteps", self._cum_steps)
+        rec("CumTime (s)", total)
+        rec("StepsPerSecond",
+            self.itrs_per_interval * self.batch_spec.size / dt)
+        w = self._window
+        rec("Trajs", len(w))
+        if w:
+            rets = [x[0] for x in w]
+            rec("ReturnAverage", float(np.mean(rets)))
+            rec("ReturnMax", float(np.max(rets)))
+            rec("ReturnMin", float(np.min(rets)))
+            rec("LengthAverage", float(np.mean([x[1] for x in w])))
+        else:
+            for k in ("ReturnAverage", "ReturnMax", "ReturnMin",
+                      "LengthAverage"):
+                rec(k, float("nan"))
+        self._window = []
+        for field, val in zip(opt_info._fields, opt_info):
+            rec(field, float(np.mean(np.asarray(val))))
+        self.logger.dump_tabular()
