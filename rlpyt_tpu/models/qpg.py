@@ -65,3 +65,20 @@ class PiMlpModel(nn.Module):
                        compute_dtype=self.compute_dtype)(obs)
         mu, log_std = jnp.split(out, 2, axis=-1)
         return restore_leading_dims((mu, log_std), lead_dim, T, B)
+
+
+class VMlpModel(nn.Module):
+    """State-value V(s) MLP (rlpyt/models/qpg/mlp.py:VMlpModel — used by
+    the original-formulation SAC; kept for parity although the shipped
+    SAC uses the modern no-V twin-Q form, as the reference's does)."""
+
+    hidden_sizes: Sequence[int] = (256, 256)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, observation, prev_action=None, prev_reward=None):
+        lead_dim, T, B, obs_shape = infer_leading_dims(observation, 1)
+        obs = observation.reshape((T * B,) + obs_shape).astype(jnp.float32)
+        v = MlpModel(self.hidden_sizes, 1,
+                     compute_dtype=self.compute_dtype)(obs)[..., 0]
+        return restore_leading_dims(v, lead_dim, T, B)

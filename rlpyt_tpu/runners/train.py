@@ -53,6 +53,7 @@ class MinibatchRl:
         eval_env=None,
         eval_n_envs: int = 8,
         eval_max_steps: int = 2500,
+        eval_max_trajectories: Optional[int] = None,
         logger: Optional[TabularLogger] = None,
         env_params=None,
         checkpoint_dir: Optional[str] = None,
@@ -68,6 +69,7 @@ class MinibatchRl:
         self.eval_env = eval_env
         self.eval_n_envs = eval_n_envs
         self.eval_max_steps = eval_max_steps
+        self.eval_max_trajectories = eval_max_trajectories
         self.logger = logger or TabularLogger(None)
         self.env_params = env_params
         self.checkpoint_dir = checkpoint_dir
@@ -128,7 +130,8 @@ class MinibatchRl:
             def run_eval(params, key):
                 state = self.eval_collector.init_state(key)
                 state, _ = self.eval_collector.collect(
-                    params, state, is_eval=True)
+                    params, state, is_eval=True,
+                    max_trajectories=self.eval_max_trajectories)
                 return state.traj_stats
 
             self._run_eval = jax.jit(run_eval)

@@ -90,6 +90,7 @@ class RolloutState(NamedTuple):
     ep_return: jax.Array     # [B] running returns
     ep_length: jax.Array     # [B]
     ep_nonzero: jax.Array    # [B] count of nonzero rewards this episode
+    needs_reset: jax.Array   # [B] done-and-waiting (WaitResetCollector)
     traj_stats: TrajStats
 
 
@@ -128,6 +129,7 @@ class Collector:
             ep_return=jnp.zeros((B,), jnp.float32),
             ep_length=jnp.zeros((B,), jnp.float32),
             ep_nonzero=jnp.zeros((B,), jnp.float32),
+            needs_reset=jnp.zeros((B,), jnp.bool_),
             traj_stats=TrajStats.zeros(),
         )
 
@@ -174,8 +176,16 @@ class Collector:
     # ------------------------------------------------------------------
 
     def collect(self, params, state: RolloutState,
-                is_eval: bool = False) -> Tuple[RolloutState, Samples]:
-        """Collect one [T, B] batch (rlpyt sampler.obtain_samples)."""
+                is_eval: bool = False,
+                max_trajectories: Optional[int] = None
+                ) -> Tuple[RolloutState, Samples]:
+        """Collect one [T, B] batch (rlpyt sampler.obtain_samples).
+
+        ``mid_batch_reset=False`` reproduces rlpyt's WaitResetCollector:
+        a done env freezes (recorded done=True each step, so
+        ``valid_from_done`` masks it) and resets only at batch end.
+        ``max_trajectories`` caps completed-trajectory accounting
+        (rlpyt eval_max_trajectories)."""
         T, B = self.batch_spec
 
         def step_fn(carry: RolloutState, _):
@@ -189,6 +199,13 @@ class Collector:
                 k_env, carry.env_state, action, self.env_params)
             reward = env_step.reward.astype(jnp.float32)
             done = env_step.done
+            waiting = carry.needs_reset
+            if not self.mid_batch_reset:
+                # Frozen envs: no state advance, zero reward, done stays.
+                env_state = tree_select(waiting, carry.env_state, env_state)
+                reward = jnp.where(waiting, 0.0, reward)
+                done = done | waiting
+            fresh_done = done & ~waiting  # episodes finishing this step
 
             out = Samples(
                 observation=carry.observation,
@@ -202,12 +219,15 @@ class Collector:
             )
 
             # --- trajectory accounting -------------------------------
-            ep_return = carry.ep_return + reward
-            ep_length = carry.ep_length + 1.0
-            ep_nonzero = carry.ep_nonzero + (reward != 0.0)
-            d = done
-            df = d.astype(jnp.float32)
+            live = (~waiting).astype(jnp.float32)
+            ep_return = carry.ep_return + reward * live
+            ep_length = carry.ep_length + live
+            ep_nonzero = carry.ep_nonzero + (reward != 0.0) * live
+            d = fresh_done
             ts = carry.traj_stats
+            if max_trajectories is not None:
+                d = d & (ts.completed < max_trajectories)
+            df = d.astype(jnp.float32)
             traj_stats = TrajStats(
                 completed=ts.completed + jnp.sum(d.astype(jnp.int32)),
                 sum_return=ts.sum_return + jnp.sum(ep_return * df),
@@ -221,18 +241,31 @@ class Collector:
                     ts.min_return,
                     jnp.min(jnp.where(d, ep_return, jnp.inf))),
             )
-            ep_return = ep_return * (1.0 - df)
-            ep_length = ep_length * (1.0 - df)
-            ep_nonzero = ep_nonzero * (1.0 - df)
+            finished = fresh_done.astype(jnp.float32)
+            ep_return = ep_return * (1.0 - finished)
+            ep_length = ep_length * (1.0 - finished)
+            ep_nonzero = ep_nonzero * (1.0 - finished)
 
-            # --- auto-reset (mid-batch, CpuResetCollector parity) ----
-            reset_state, reset_obs = self.env.reset_batch(
-                k_reset, B, self.env_params)
-            env_state = tree_select(done, reset_state, env_state)
-            observation = tree_select(done, reset_obs, env_step.observation)
-            prev_action = tree_select(done, jnp.zeros_like(action), action)
-            prev_reward = jnp.where(done, 0.0, reward)
-            agent_carry = self.agent.reset_carry_where(done, agent_carry)
+            if self.mid_batch_reset:
+                # --- auto-reset (CpuResetCollector parity) -----------
+                reset_state, reset_obs = self.env.reset_batch(
+                    k_reset, B, self.env_params)
+                env_state = tree_select(done, reset_state, env_state)
+                observation = tree_select(done, reset_obs,
+                                          env_step.observation)
+                prev_action = tree_select(done, jnp.zeros_like(action),
+                                          action)
+                prev_reward = jnp.where(done, 0.0, reward)
+                agent_carry = self.agent.reset_carry_where(done, agent_carry)
+                needs_reset = carry.needs_reset
+            else:
+                # --- wait-reset: freeze until batch end --------------
+                observation = tree_select(done, carry.observation,
+                                          env_step.observation)
+                prev_action = tree_select(done, jnp.zeros_like(action),
+                                          action)
+                prev_reward = jnp.where(done, 0.0, reward)
+                needs_reset = done
 
             new_carry = RolloutState(
                 key=key,
@@ -245,12 +278,34 @@ class Collector:
                 ep_return=ep_return,
                 ep_length=ep_length,
                 ep_nonzero=ep_nonzero,
+                needs_reset=needs_reset,
                 traj_stats=traj_stats,
             )
             return new_carry, out
 
         state, samples = jax.lax.scan(step_fn, state, None, length=T)
+        if not self.mid_batch_reset:
+            state = self._reset_waiting(state)
         return state, samples
+
+    def _reset_waiting(self, state: RolloutState) -> RolloutState:
+        """Batch-end reset of done-and-waiting envs
+        (rlpyt WaitResetCollector.reset_if_needed)."""
+        key, k_reset = jax.random.split(state.key)
+        B = self.batch_spec.B
+        reset_state, reset_obs = self.env.reset_batch(
+            k_reset, B, self.env_params)
+        w = state.needs_reset
+        act_null = jnp.zeros_like(state.prev_action)
+        return state._replace(
+            key=key,
+            env_state=tree_select(w, reset_state, state.env_state),
+            observation=tree_select(w, reset_obs, state.observation),
+            prev_action=tree_select(w, act_null, state.prev_action),
+            prev_reward=jnp.where(w, 0.0, state.prev_reward),
+            agent_carry=self.agent.reset_carry_where(w, state.agent_carry),
+            needs_reset=jnp.zeros_like(w),
+        )
 
     def reset_traj_stats(self, state: RolloutState) -> RolloutState:
         """Clear the completed-trajectory window (called at log intervals)."""

@@ -21,10 +21,19 @@ import numpy as np
 
 class TabularLogger:
     def __init__(self, log_dir: Optional[str] = None,
-                 snapshot_mode: str = "last", snapshot_gap: int = 1):
+                 snapshot_mode: str = "last", snapshot_gap: int = 1,
+                 use_summary_writer: bool = False):
         self.log_dir = log_dir
         self.snapshot_mode = snapshot_mode
         self.snapshot_gap = snapshot_gap
+        self._tb = None
+        if use_summary_writer and log_dir is not None:
+            # optional TensorBoard events (rlpyt logger_context
+            # use_summary_writer; torch.utils.tensorboard is the same
+            # writer the reference used)
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir=log_dir)
+        self._tb_step = 0
         self._tabular: Dict[str, Any] = {}
         self._csv_file = None
         self._csv_writer = None
@@ -55,6 +64,12 @@ class TabularLogger:
     def dump_tabular(self, print_fn=print):
         if not self._tabular:
             return
+        if self._tb is not None:
+            step = int(self._tabular.get("CumSteps", self._tb_step))
+            for k, v in self._tabular.items():
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, step)
+            self._tb_step = step + 1
         # console block
         width = max(len(k) for k in self._tabular)
         lines = ["-" * (width + 22)]
@@ -107,6 +122,8 @@ class TabularLogger:
             pickle.dump(host_params, f)
 
     def close(self):
+        if self._tb is not None:
+            self._tb.close()
         if self._csv_file:
             self._csv_file.close()
         if self._debug_file:
@@ -116,14 +133,16 @@ class TabularLogger:
 @contextmanager
 def logger_context(log_dir: str, run_id: int, name: str,
                    config: Optional[dict] = None,
-                   snapshot_mode: str = "last"):
+                   snapshot_mode: str = "last",
+                   use_summary_writer: bool = False):
     """(rlpyt/utils/logging/context.py:logger_context ~L10)."""
     run_dir = os.path.join(log_dir, f"run_{run_id}")
     os.makedirs(run_dir, exist_ok=True)
     if config is not None:
         with open(os.path.join(run_dir, "params.json"), "w") as f:
             json.dump(_jsonable(config), f, indent=2, default=str)
-    logger = TabularLogger(run_dir, snapshot_mode=snapshot_mode)
+    logger = TabularLogger(run_dir, snapshot_mode=snapshot_mode,
+                           use_summary_writer=use_summary_writer)
     logger.log(f"Starting run {name} (run_{run_id})")
     try:
         yield logger

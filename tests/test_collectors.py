@@ -1,0 +1,109 @@
+"""Collector semantics: wait-reset (WaitResetCollector parity) and
+eval trajectory caps."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlpyt_tpu.agents.base import AgentStep, BaseAgent
+from rlpyt_tpu.envs.base import Env, EnvStep
+from rlpyt_tpu.samplers.rollout import BatchSpec, Collector
+from rlpyt_tpu.spaces import FloatBox, IntBox
+
+
+class CountEnv(Env):
+    """Deterministic: episode of fixed length ``horizon_n`` per env;
+    obs = step index; reward = 1."""
+
+    def __init__(self, horizon_n=5):
+        self.horizon_n = horizon_n
+
+    @property
+    def observation_space(self):
+        return FloatBox(0.0, 100.0, shape=(1,))
+
+    @property
+    def action_space(self):
+        return IntBox(0, 2)
+
+    def reset(self, key, params=None):
+        t = jnp.zeros((), jnp.int32)
+        return t, jnp.zeros((1,), jnp.float32)
+
+    def step(self, key, state, action, params=None):
+        t = state + 1
+        done = t >= self.horizon_n
+        obs = jnp.asarray([t], jnp.float32)
+        return t, EnvStep(obs, jnp.ones((), jnp.float32), done,
+                          {"timeout": jnp.zeros((), jnp.bool_)})
+
+    def example_info(self):
+        return {"timeout": jnp.zeros((), jnp.bool_)}
+
+
+class NoopAgent(BaseAgent):
+    def initialize(self, env_spaces):
+        self.env_spaces = env_spaces
+
+    def init_carry(self, B):
+        return None
+
+    def reset_carry_where(self, done, carry):
+        return carry
+
+    def step(self, params, key, observation, prev_action, prev_reward,
+             carry, ctx):
+        B = observation.shape[0]
+        return AgentStep(jnp.zeros((B,), jnp.int32), {}), carry
+
+
+def collect(mid_batch_reset, T=12, B=2, horizon=5):
+    env = CountEnv(horizon)
+    agent = NoopAgent()
+    agent.initialize(env.spaces)
+    col = Collector(env, agent, BatchSpec(T, B),
+                    mid_batch_reset=mid_batch_reset)
+    state = col.init_state(jax.random.key(0))
+    state, samples = jax.jit(col.collect)(None, state)
+    return state, samples
+
+
+def test_mid_batch_reset_restarts_episodes():
+    state, samples = collect(True)
+    obs = np.asarray(samples.observation[:, 0, 0])
+    # obs sequence: 0,1,2,3,4 | 0,1,2,3,4 | 0,1 — resets mid-batch
+    np.testing.assert_array_equal(obs[:12],
+                                  [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1])
+    assert int(state.traj_stats.completed) == 4  # 2 per env
+
+
+def test_wait_reset_freezes_done_envs():
+    state, samples = collect(False)
+    done = np.asarray(samples.done[:, 0])
+    # done at step 4 (0-indexed), then frozen-done for the rest
+    np.testing.assert_array_equal(done[:4], [False] * 4)
+    assert done[4:].all()
+    # reward zero while frozen
+    rew = np.asarray(samples.reward[:, 0])
+    np.testing.assert_array_equal(rew[5:], np.zeros(7))
+    # only ONE completed trajectory per env counted
+    assert int(state.traj_stats.completed) == 2
+    # after collect, env was reset for the next batch
+    assert not bool(state.needs_reset.any())
+    np.testing.assert_array_equal(np.asarray(state.observation[:, 0]),
+                                  [0, 0])
+
+
+def test_eval_max_trajectories_cap():
+    env = CountEnv(3)
+    agent = NoopAgent()
+    agent.initialize(env.spaces)
+    col = Collector(env, agent, BatchSpec(30, 4))
+    state = col.init_state(jax.random.key(0))
+    state, _ = jax.jit(col.collect, static_argnums=(2, 3))(
+        None, state, True, 5)
+    # 30 steps / 3-step episodes x 4 envs = 40 completions possible;
+    # the cap freezes accounting at >=5 but close to it (per-step grain)
+    completed = int(state.traj_stats.completed)
+    assert 5 <= completed <= 8   # one extra step may finish up to B at once
+    avg_len = float(state.traj_stats.sum_length) / completed
+    assert abs(avg_len - 3.0) < 1e-5
