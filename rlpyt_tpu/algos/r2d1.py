@@ -34,8 +34,10 @@ from rlpyt_tpu.ops.value import (
 )
 from rlpyt_tpu.replay.base import SamplesToBuffer
 from rlpyt_tpu.replay.sequence import (
+    PrioritizedSequenceFrameReplayBuffer,
     PrioritizedSequenceReplayBuffer,
     SequenceSamples,
+    UniformSequenceFrameReplayBuffer,
     UniformSequenceReplayBuffer,
 )
 from rlpyt_tpu.samplers.rollout import Samples
@@ -64,6 +66,8 @@ class R2D1(RlAlgorithm):
         pri_eta: float = 0.9,
         input_priorities: bool = True,
         value_scale_eps: float = 1e-3,
+        frame_compress: bool = False,
+        frames_per_obs: int = 4,
     ):
         self.discount = discount
         self.batch_b = batch_b
@@ -84,6 +88,8 @@ class R2D1(RlAlgorithm):
         self.pri_eta = pri_eta
         self.input_priorities = input_priorities
         self.value_scale_eps = value_scale_eps
+        self.frame_compress = frame_compress
+        self.frames_per_obs = frames_per_obs
 
     # ------------------------------------------------------------------
 
@@ -103,13 +109,21 @@ class R2D1(RlAlgorithm):
             opt_state=self.optimizer.init(params),
             update_counter=jnp.zeros((), jnp.int32))
 
-        Cls = (PrioritizedSequenceReplayBuffer if self.prioritized_replay
-               else UniformSequenceReplayBuffer)
+        if self.frame_compress:
+            Cls = (PrioritizedSequenceFrameReplayBuffer
+                   if self.prioritized_replay
+                   else UniformSequenceFrameReplayBuffer)
+        else:
+            Cls = (PrioritizedSequenceReplayBuffer
+                   if self.prioritized_replay
+                   else UniformSequenceReplayBuffer)
         kwargs = dict(
             size=self.replay_size, B=batch_spec.B,
             sample_T=batch_spec.T, warmup_T=self.warmup_T,
             batch_T=self.batch_T, n_step_return=self.n_step,
             discount=self.discount)
+        if self.frame_compress:
+            kwargs.update(frames_per_obs=self.frames_per_obs)
         if self.prioritized_replay:
             kwargs.update(alpha=self.pri_alpha, beta=self.pri_beta)
         self.replay = Cls(**kwargs)

@@ -74,6 +74,9 @@ class PrioritizedSequenceReplayBuffer:
         self.alpha = alpha
         self.beta = beta
         self.prioritized = prioritized
+        # Min offset of a window start from the oldest valid row; ≥1 for
+        # the prev_action/prev_reward access, raised by the frame mixin.
+        self.off_start = 1
 
     @property
     def size(self):
@@ -128,8 +131,10 @@ class PrioritizedSequenceReplayBuffer:
         span = jnp.where(full, self.size_T, state.filled_t)
         slot_rows = jnp.arange(self.n_slots, dtype=jnp.int32) * self.interval
         offset = (slot_rows - base) % self.size_T
-        # offset >= 1 guards the prev_action/prev_reward access at t0 - 1.
-        return (offset >= 1) & (offset + self.window_T <= span)
+        # offset >= off_start guards the prev_action/prev_reward access at
+        # t0 - 1 (and trailing-frame reads under frame compression).
+        return (offset >= self.off_start) & (
+            offset + self.window_T <= span)
 
     def sample(self, state: SequenceReplayState, key: jax.Array,
                batch_b: int) -> SequenceSamples:
@@ -167,7 +172,7 @@ class PrioritizedSequenceReplayBuffer:
             rows = (t0[None, :] + jnp.arange(W)[:, None]) % self.size_T
             return leaf[rows, b_idx[None, :]]
 
-        obs = jax.tree.map(window, d.observation)
+        obs = self._obs_window(state, t0, b_idx)
         action = window(d.action)
         reward = window(d.reward)
         done = window(d.done)
@@ -185,6 +190,15 @@ class PrioritizedSequenceReplayBuffer:
             prev_action=prev_action, prev_reward=prev_reward,
             init_rnn_state=init_rnn, is_weights=w,
             slots=(slot_idx, b_idx))
+
+    def _obs_window(self, state: SequenceReplayState, t0: jax.Array,
+                    b_idx: jax.Array):
+        """Gather [W, b, ...] observation windows; overridden by the frame
+        mixin to reconstruct stacks from single-frame storage."""
+        rows = (t0[None, :]
+                + jnp.arange(self.window_T)[:, None]) % self.size_T
+        return jax.tree.map(lambda l: l[rows, b_idx[None, :]],
+                            state.data.observation)
 
     def update_priorities(self, state: SequenceReplayState,
                           slots: Tuple[jax.Array, jax.Array],
@@ -205,3 +219,67 @@ class UniformSequenceReplayBuffer(PrioritizedSequenceReplayBuffer):
     def __init__(self, *args, **kwargs):
         kwargs["prioritized"] = False
         super().__init__(*args, **kwargs)
+
+
+class SequenceFrameReplayMixin:
+    """Frame compression for sequence windows (reference:
+    rlpyt/replays/sequence/frame.py:SequenceNStepFrameBuffer +
+    uniform/prioritized combos).
+
+    Stores only the newest [H, W] frame of each K-stacked observation
+    (~K× HBM saving — the R2D1 Atari buffer is the largest array in the
+    framework) and reconstructs the per-step stacks at sample time with
+    episode-boundary zeroing, fused into the same gather program as the
+    window extraction."""
+
+    def __init__(self, *args, frames_per_obs: int = 4, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.frames_per_obs = frames_per_obs
+        self.off_start = max(self.off_start, frames_per_obs - 1)
+
+    def init(self, example: SamplesToBuffer, rnn_example):
+        ex = example._replace(
+            observation=jax.tree.map(lambda o: o[-1], example.observation))
+        return super().init(ex, rnn_example)
+
+    def append(self, state, samples: SamplesToBuffer, rnn_states,
+               input_priorities=None):
+        samples = samples._replace(
+            observation=jax.tree.map(lambda o: o[:, :, -1],
+                                     samples.observation))
+        return super().append(state, samples, rnn_states, input_priorities)
+
+    def _obs_window(self, state: SequenceReplayState, t0: jax.Array,
+                    b_idx: jax.Array):
+        d = state.data
+        K = self.frames_per_obs
+        rows = (t0[None, :]
+                + jnp.arange(self.window_T)[:, None]) % self.size_T  # [W,b]
+        b = b_idx[None, :]
+
+        def frame_at(j):
+            return jax.tree.map(
+                lambda l: l[(rows - j) % self.size_T, b], d.observation)
+
+        frames = [frame_at(0)]                       # newest
+        valid = jnp.ones(rows.shape, jnp.bool_)      # [W, b]
+        for j in range(1, K):
+            done_j = d.done[(rows - j) % self.size_T, b]
+            valid = valid & ~done_j
+            f = frame_at(j)
+            frames.append(jax.tree.map(
+                lambda l: jnp.where(
+                    valid.reshape(valid.shape + (1,) * (l.ndim - 2)),
+                    l, jnp.zeros_like(l)), f))
+        frames = frames[::-1]                        # oldest → newest
+        return jax.tree.map(lambda *fs: jnp.stack(fs, axis=2), *frames)
+
+
+class PrioritizedSequenceFrameReplayBuffer(SequenceFrameReplayMixin,
+                                           PrioritizedSequenceReplayBuffer):
+    """(rlpyt/replays/sequence/frame.py prioritized frame combo)."""
+
+
+class UniformSequenceFrameReplayBuffer(SequenceFrameReplayMixin,
+                                       UniformSequenceReplayBuffer):
+    """(rlpyt/replays/sequence/frame.py uniform frame combo)."""
