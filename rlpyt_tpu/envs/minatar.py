@@ -562,11 +562,311 @@ class Freeway(MinAtarEnv):
                             jnp.asarray(False))
 
 
+# ===========================================================================
+# Seaquest
+# ===========================================================================
+
+class SeaquestState(NamedTuple):
+    sub_x: jax.Array         # player submarine
+    sub_y: jax.Array         # 0 = surface, 1-8 water lanes
+    sub_or: jax.Array        # facing: +1 right, -1 left
+    fb_l: jax.Array          # [10,10] friendly bullets moving left
+    fb_r: jax.Array          # [10,10] friendly bullets moving right
+    eb_l: jax.Array          # [10,10] enemy bullets moving left
+    eb_r: jax.Array          # [10,10] enemy bullets moving right
+    fish_x: jax.Array        # [8] one fish lane per row 1-8
+    fish_dir: jax.Array      # [8] ±1
+    fish_alive: jax.Array    # [8] bool
+    esub_x: jax.Array        # [8] enemy subs, same lane model
+    esub_dir: jax.Array      # [8]
+    esub_alive: jax.Array    # [8]
+    esub_shot_timer: jax.Array  # [8]
+    diver_x: jax.Array       # [8]
+    diver_dir: jax.Array     # [8]
+    diver_alive: jax.Array   # [8]
+    oxygen: jax.Array
+    diver_count: jax.Array
+    e_spawn_speed: jax.Array
+    e_spawn_timer: jax.Array
+    d_spawn_timer: jax.Array
+    move_speed: jax.Array    # enemy move period (ramps down)
+    move_timer: jax.Array
+    diver_move_timer: jax.Array
+    shot_timer: jax.Array    # player fire cooldown
+    surface: jax.Array       # bool: was at surface last step
+    last_action: jax.Array
+    t: jax.Array
+
+
+_SQ_MAX_OXYGEN = 200
+_SQ_INIT_SPAWN_SPEED = 20
+_SQ_DIVER_SPAWN_SPEED = 30
+_SQ_INIT_MOVE_SPEED = 5
+_SQ_SHOT_COOL = 5
+_SQ_ENEMY_SHOT_INTERVAL = 10
+_SQ_DIVER_MOVE_INTERVAL = 5
+
+
+class Seaquest(MinAtarEnv):
+    """MinAtar Seaquest (Young & Tian 2019 spec, re-designed as a
+    fixed-shape JAX state machine).
+
+    Shoot fish and enemy subs (+1 each), collect divers, manage oxygen,
+    and surface to refill: surfacing with 0 divers (or running out of
+    oxygen) ends the game; surfacing with all 6 divers cashes them in
+    for +6 and ramps difficulty.  Design choice vs the list-based spec:
+    entities live on 8 fixed lanes (rows 1-8) with at most one fish,
+    one enemy sub and one diver per lane — the bounded-entity layout
+    that vectorizes under vmap (same approach as Asterix above).
+
+    Channels: 0 sub-front, 1 sub-trail (orientation), 2 friendly bullet,
+    3 diver, 4 enemy bullet, 5 fish, 6 enemy sub, 7 oxygen gauge (row 9),
+    8 diver gauge (row 9).
+    """
+
+    n_channels = 9
+
+    def reset(self, key, params=None):
+        z8 = jnp.zeros((8,), I32)
+        f8 = jnp.zeros((8,), jnp.bool_)
+        m = jnp.zeros((10, 10), jnp.uint8)
+        s = SeaquestState(
+            sub_x=jnp.asarray(5, I32), sub_y=jnp.asarray(0, I32),
+            sub_or=jnp.asarray(1, I32),
+            fb_l=m, fb_r=m, eb_l=m, eb_r=m,
+            fish_x=z8, fish_dir=jnp.ones((8,), I32), fish_alive=f8,
+            esub_x=z8, esub_dir=jnp.ones((8,), I32), esub_alive=f8,
+            esub_shot_timer=z8,
+            diver_x=z8, diver_dir=jnp.ones((8,), I32), diver_alive=f8,
+            oxygen=jnp.asarray(_SQ_MAX_OXYGEN, I32),
+            diver_count=jnp.asarray(0, I32),
+            e_spawn_speed=jnp.asarray(_SQ_INIT_SPAWN_SPEED, I32),
+            e_spawn_timer=jnp.asarray(_SQ_INIT_SPAWN_SPEED, I32),
+            d_spawn_timer=jnp.asarray(_SQ_DIVER_SPAWN_SPEED, I32),
+            move_speed=jnp.asarray(_SQ_INIT_MOVE_SPEED, I32),
+            move_timer=jnp.asarray(_SQ_INIT_MOVE_SPEED, I32),
+            diver_move_timer=jnp.asarray(_SQ_DIVER_MOVE_INTERVAL, I32),
+            shot_timer=jnp.asarray(0, I32),
+            surface=jnp.asarray(True),
+            last_action=jnp.asarray(0, I32),
+            t=jnp.asarray(0, I32),
+        )
+        return s, self._obs(s)
+
+    def _obs(self, s: SeaquestState):
+        obs = jnp.zeros((self.n_channels, 10, 10), jnp.uint8)
+        obs = obs.at[0, s.sub_y, s.sub_x].set(1)
+        back_x = jnp.clip(s.sub_x - s.sub_or, 0, 9)
+        obs = obs.at[1, s.sub_y, back_x].set(1)
+        obs = obs.at[2].set(s.fb_l | s.fb_r)
+        rows = jnp.arange(8) + 1
+        obs = obs.at[3, rows, s.diver_x].max(s.diver_alive.astype(jnp.uint8))
+        obs = obs.at[4].set(s.eb_l | s.eb_r)
+        obs = obs.at[5, rows, s.fish_x].max(s.fish_alive.astype(jnp.uint8))
+        obs = obs.at[6, rows, s.esub_x].max(s.esub_alive.astype(jnp.uint8))
+        # Gauges on row 9: oxygen left-to-right, divers right-to-left.
+        cols = jnp.arange(10)
+        ox_cells = (cols < (s.oxygen * 10) // _SQ_MAX_OXYGEN)
+        obs = obs.at[7, 9, :].set(ox_cells.astype(jnp.uint8))
+        dv_cells = (9 - cols) < s.diver_count
+        obs = obs.at[8, 9, :].set(dv_cells.astype(jnp.uint8))
+        return obs
+
+    @staticmethod
+    def _spawn_lane(key, free):
+        """Uniform random index among free lanes (Asterix idiom)."""
+        n_free = jnp.sum(free)
+        u = jax.random.randint(key, (), 0, 1 << 30) % jnp.maximum(n_free, 1)
+        return jnp.argmax(jnp.cumsum(free) > u), n_free > 0
+
+    def step(self, key, s: SeaquestState, action, params=None):
+        (k_sticky, k_elane, k_etype, k_edir,
+         k_dlane, k_ddir) = jax.random.split(key, 6)
+        a = self._sticky(k_sticky, action.astype(I32), s.last_action)
+        reward = jnp.zeros((), F32)
+        terminal = jnp.asarray(False)
+        rows = jnp.arange(8) + 1
+
+        # --- player: fire + move -------------------------------------
+        fire = (a == FIRE) & (s.shot_timer == 0)
+        fb_l = jnp.where(fire & (s.sub_or < 0),
+                         s.fb_l.at[s.sub_y, s.sub_x].set(1), s.fb_l)
+        fb_r = jnp.where(fire & (s.sub_or > 0),
+                         s.fb_r.at[s.sub_y, s.sub_x].set(1), s.fb_r)
+        shot_timer = jnp.where(fire, _SQ_SHOT_COOL,
+                               jnp.maximum(s.shot_timer - 1, 0))
+        sub_x = jnp.clip(s.sub_x + (a == RIGHT).astype(I32)
+                         - (a == LEFT).astype(I32), 0, 9)
+        sub_or = jnp.where(a == RIGHT, 1, jnp.where(a == LEFT, -1, s.sub_or))
+        sub_y = jnp.clip(s.sub_y + (a == DOWN).astype(I32)
+                         - (a == UP).astype(I32), 0, 8)
+
+        # --- bullets advance (friendly then enemy) --------------------
+        def shift(m, d):   # move all bullets one column; edge falls off
+            return jnp.roll(m, d, axis=1).at[:, (0 if d > 0 else 9)].set(0)
+
+        fb_l, fb_r = shift(fb_l, -1), shift(fb_r, 1)
+        eb_l, eb_r = shift(s.eb_l, -1), shift(s.eb_r, 1)
+
+        # friendly bullets kill fish / enemy subs (+1 each)
+        fb = fb_l | fb_r
+        fish_hit = s.fish_alive & (fb[rows, s.fish_x] == 1)
+        esub_hit = s.esub_alive & (fb[rows, s.esub_x] == 1)
+        reward = reward + jnp.sum(fish_hit).astype(F32) \
+            + jnp.sum(esub_hit).astype(F32)
+        fish_alive = s.fish_alive & ~fish_hit
+        esub_alive = s.esub_alive & ~esub_hit
+        # remove the bullets that struck
+        strike = jnp.zeros((10, 10), jnp.bool_)
+        strike = strike.at[rows, s.fish_x].max(fish_hit)
+        strike = strike.at[rows, s.esub_x].max(esub_hit)
+        fb_l = (fb_l.astype(jnp.bool_) & ~strike).astype(jnp.uint8)
+        fb_r = (fb_r.astype(jnp.bool_) & ~strike).astype(jnp.uint8)
+
+        # --- enemies march on the move period -------------------------
+        move_now = s.move_timer == 0
+        dxf = jnp.where(move_now, s.fish_dir, 0)
+        fish_x = s.fish_x + jnp.where(fish_alive, dxf, 0)
+        fish_off = (fish_x < 0) | (fish_x > 9)
+        fish_alive = fish_alive & ~fish_off
+        fish_x = jnp.clip(fish_x, 0, 9)
+        dxs = jnp.where(move_now, s.esub_dir, 0)
+        esub_x = s.esub_x + jnp.where(esub_alive, dxs, 0)
+        esub_off = (esub_x < 0) | (esub_x > 9)
+        esub_alive = esub_alive & ~esub_off
+        esub_x = jnp.clip(esub_x, 0, 9)
+        move_timer = jnp.where(move_now, s.move_speed, s.move_timer - 1)
+
+        # divers drift on their own (slower) period
+        d_move = s.diver_move_timer == 0
+        diver_x = s.diver_x + jnp.where(s.diver_alive & d_move,
+                                        s.diver_dir, 0)
+        diver_off = (diver_x < 0) | (diver_x > 9)
+        diver_alive = s.diver_alive & ~diver_off
+        diver_x = jnp.clip(diver_x, 0, 9)
+        diver_move_timer = jnp.where(d_move, _SQ_DIVER_MOVE_INTERVAL,
+                                     s.diver_move_timer - 1)
+
+        # --- enemy subs fire -------------------------------------------
+        esub_shoot = esub_alive & (s.esub_shot_timer == 0)
+        eb_l = jnp.where(
+            jnp.any(esub_shoot & (s.esub_dir < 0)),
+            eb_l.at[rows, jnp.clip(esub_x - 1, 0, 9)].max(
+                (esub_shoot & (s.esub_dir < 0)).astype(jnp.uint8)), eb_l)
+        eb_r = jnp.where(
+            jnp.any(esub_shoot & (s.esub_dir > 0)),
+            eb_r.at[rows, jnp.clip(esub_x + 1, 0, 9)].max(
+                (esub_shoot & (s.esub_dir > 0)).astype(jnp.uint8)), eb_r)
+        esub_shot_timer = jnp.where(
+            esub_shoot, _SQ_ENEMY_SHOT_INTERVAL,
+            jnp.maximum(s.esub_shot_timer - 1, 0))
+
+        # --- contact: enemies / enemy bullets kill the player ----------
+        eb = eb_l | eb_r
+        in_lane = rows == sub_y
+        terminal = terminal | (eb[sub_y, sub_x] == 1)
+        terminal = terminal | jnp.any(
+            in_lane & fish_alive & (fish_x == sub_x))
+        terminal = terminal | jnp.any(
+            in_lane & esub_alive & (esub_x == sub_x))
+
+        # --- divers collected -------------------------------------------
+        grab = in_lane & diver_alive & (diver_x == sub_x) \
+            & (s.diver_count < 6)
+        n_grab = jnp.sum(grab).astype(I32)
+        diver_alive = diver_alive & ~grab
+        diver_count = jnp.minimum(s.diver_count + n_grab, 6)
+
+        # --- spawns ------------------------------------------------------
+        e_spawn_now = s.e_spawn_timer == 0
+        # fish 3:1 over enemy subs (spec's 1/3 sub probability)
+        is_sub = jax.random.uniform(k_etype) < (1.0 / 3.0)
+        e_dir = 2 * jax.random.randint(k_edir, (), 0, 2) - 1
+        e_x0 = jnp.where(e_dir > 0, 0, 9)
+        free_f = ~fish_alive
+        free_s = ~esub_alive
+        lane_f, ok_f = self._spawn_lane(k_elane, free_f)
+        lane_s, ok_s = self._spawn_lane(k_elane, free_s)
+        do_fish = e_spawn_now & ~is_sub & ok_f
+        do_esub = e_spawn_now & is_sub & ok_s
+        fish_x = jnp.where(do_fish, fish_x.at[lane_f].set(e_x0), fish_x)
+        fish_dir = jnp.where(do_fish, s.fish_dir.at[lane_f].set(e_dir),
+                             s.fish_dir)
+        fish_alive = jnp.where(do_fish, fish_alive.at[lane_f].set(True),
+                               fish_alive)
+        esub_x = jnp.where(do_esub, esub_x.at[lane_s].set(e_x0), esub_x)
+        esub_dir = jnp.where(do_esub, s.esub_dir.at[lane_s].set(e_dir),
+                             s.esub_dir)
+        esub_alive = jnp.where(do_esub, esub_alive.at[lane_s].set(True),
+                               esub_alive)
+        esub_shot_timer = jnp.where(
+            do_esub, esub_shot_timer.at[lane_s].set(_SQ_ENEMY_SHOT_INTERVAL),
+            esub_shot_timer)
+        e_spawn_timer = jnp.where(e_spawn_now, s.e_spawn_speed,
+                                  s.e_spawn_timer - 1)
+
+        d_spawn_now = s.d_spawn_timer == 0
+        d_dir = 2 * jax.random.randint(k_ddir, (), 0, 2) - 1
+        d_x0 = jnp.where(d_dir > 0, 0, 9)
+        lane_d, ok_d = self._spawn_lane(k_dlane, ~diver_alive)
+        do_diver = d_spawn_now & ok_d
+        diver_x = jnp.where(do_diver, diver_x.at[lane_d].set(d_x0), diver_x)
+        diver_dir = jnp.where(do_diver, s.diver_dir.at[lane_d].set(d_dir),
+                              s.diver_dir)
+        diver_alive = jnp.where(do_diver, diver_alive.at[lane_d].set(True),
+                                diver_alive)
+        d_spawn_timer = jnp.where(d_spawn_now, _SQ_DIVER_SPAWN_SPEED,
+                                  s.d_spawn_timer - 1)
+
+        # --- oxygen & surfacing -------------------------------------------
+        at_surface = sub_y == 0
+        came_up = at_surface & ~s.surface
+        # surfacing with no divers ends the game
+        terminal = terminal | (came_up & (diver_count == 0))
+        cash_all = came_up & (diver_count == 6)
+        reward = reward + jnp.where(cash_all, 6.0, 0.0)
+        # cash-in clears divers; a normal surface visit spends one diver
+        diver_count = jnp.where(
+            cash_all, 0,
+            jnp.where(came_up & (diver_count > 0), diver_count - 1,
+                      diver_count))
+        oxygen = jnp.where(at_surface, _SQ_MAX_OXYGEN, s.oxygen - 1)
+        terminal = terminal | (oxygen < 0)
+        oxygen = jnp.maximum(oxygen, 0)
+
+        # difficulty ramp on full cash-in
+        e_spawn_speed = s.e_spawn_speed
+        move_speed = s.move_speed
+        if self.ramping:
+            e_spawn_speed = jnp.where(
+                cash_all & (e_spawn_speed > 5), e_spawn_speed - 1,
+                e_spawn_speed)
+            move_speed = jnp.where(
+                cash_all & (move_speed > 2), move_speed - 1, move_speed)
+
+        ns = SeaquestState(
+            sub_x=sub_x, sub_y=sub_y, sub_or=sub_or,
+            fb_l=fb_l, fb_r=fb_r, eb_l=eb_l, eb_r=eb_r,
+            fish_x=fish_x, fish_dir=fish_dir, fish_alive=fish_alive,
+            esub_x=esub_x, esub_dir=esub_dir, esub_alive=esub_alive,
+            esub_shot_timer=esub_shot_timer,
+            diver_x=diver_x, diver_dir=diver_dir, diver_alive=diver_alive,
+            oxygen=oxygen, diver_count=diver_count,
+            e_spawn_speed=e_spawn_speed, e_spawn_timer=e_spawn_timer,
+            d_spawn_timer=d_spawn_timer,
+            move_speed=move_speed, move_timer=move_timer,
+            diver_move_timer=diver_move_timer,
+            shot_timer=shot_timer, surface=at_surface,
+            last_action=a, t=s.t + 1)
+        return self._finish(ns, self._obs(ns), reward, terminal)
+
+
 MINATAR_ENVS = {
     "breakout": Breakout,
     "space_invaders": SpaceInvaders,
     "asterix": Asterix,
     "freeway": Freeway,
+    "seaquest": Seaquest,
 }
 
 

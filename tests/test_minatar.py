@@ -190,7 +190,8 @@ def test_vmap_scan_compatibility():
             a = jax.random.randint(key, (B,), 0, 6)
             return AgentStep(a, {}), carry
 
-    for name in ("breakout", "space_invaders", "asterix", "freeway"):
+    for name in ("breakout", "space_invaders", "asterix", "freeway",
+                 "seaquest"):
         env = make_minatar(name)
         agent = RandomAgent()
         agent.initialize(env.spaces)
@@ -199,3 +200,60 @@ def test_vmap_scan_compatibility():
         state, samples = jax.jit(col.collect)(None, state)
         assert samples.observation.shape == (8, 4, env.n_channels, 10, 10)
         assert bool(jnp.all(jnp.isfinite(samples.reward)))
+
+
+def test_seaquest_mechanics():
+    from rlpyt_tpu.envs.minatar import Seaquest, _SQ_MAX_OXYGEN
+
+    env = Seaquest(sticky_action_prob=0.0)
+    s, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (9, 10, 10) and obs.dtype == jnp.uint8
+    # sub starts at surface (0, 5); oxygen gauge full on row 9
+    assert int(obs[0, 0, 5]) == 1
+    assert int(obs[7, 9].sum()) == 10
+    # determinism
+    r1 = rollout(env, 0, [DOWN] * 30)
+    r2 = rollout(env, 0, [DOWN] * 30)
+    np.testing.assert_array_equal(np.asarray(r1[0][-1]),
+                                  np.asarray(r2[0][-1]))
+
+    # oxygen depletes underwater and kills
+    s, _ = env.reset(jax.random.key(0))
+    s, _ = env.step(jax.random.key(1), s, jnp.asarray(DOWN), None)
+    assert int(s.sub_y) == 1
+    s = s._replace(oxygen=jnp.asarray(0, jnp.int32))
+    # avoid other terminal causes: clear enemies
+    s = s._replace(fish_alive=jnp.zeros(8, bool),
+                   esub_alive=jnp.zeros(8, bool),
+                   eb_l=jnp.zeros((10, 10), jnp.uint8),
+                   eb_r=jnp.zeros((10, 10), jnp.uint8))
+    s2, st = env.step(jax.random.key(2), s, jnp.asarray(NOOP), None)
+    assert bool(st.done) and not bool(st.info["timeout"])
+
+    # shooting a fish in the same lane scores
+    s, _ = env.reset(jax.random.key(0))
+    s = s._replace(sub_y=jnp.asarray(3, jnp.int32),
+                   sub_x=jnp.asarray(2, jnp.int32),
+                   sub_or=jnp.asarray(1, jnp.int32),
+                   surface=jnp.asarray(False),
+                   fish_alive=jnp.zeros(8, bool).at[2].set(True),
+                   fish_x=jnp.zeros(8, jnp.int32).at[2].set(6),
+                   fish_dir=jnp.zeros(8, jnp.int32).at[2].set(-1),
+                   e_spawn_timer=jnp.asarray(100, jnp.int32),
+                   move_timer=jnp.asarray(100, jnp.int32))
+    s, st = env.step(jax.random.key(3), s, jnp.asarray(FIRE), None)
+    total = float(st.reward)
+    for i in range(6):
+        s, st = env.step(jax.random.key(10 + i), s, jnp.asarray(NOOP), None)
+        total += float(st.reward)
+        if bool(st.done):
+            break
+    assert total >= 1.0  # bullet reached the fish
+
+    # surfacing with zero divers is terminal
+    s, _ = env.reset(jax.random.key(0))
+    s, _ = env.step(jax.random.key(20), s, jnp.asarray(DOWN), None)
+    s = s._replace(fish_alive=jnp.zeros(8, bool),
+                   esub_alive=jnp.zeros(8, bool))
+    s, st = env.step(jax.random.key(21), s, jnp.asarray(UP), None)
+    assert bool(st.done)
