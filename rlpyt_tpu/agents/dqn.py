@@ -135,8 +135,10 @@ class R2d1Agent(DqnAgent):
                  eps_final_min=0.0005, **kwargs):
         super().__init__(ModelCls=ModelCls, eps_final_min=eps_final_min,
                          **kwargs)
-        self.lstm_size = lstm_size
-        self.model_kwargs.setdefault("lstm_size", lstm_size)
+        # model_kwargs wins if it names a size (one source of truth for
+        # the carried state shape).
+        self.lstm_size = self.model_kwargs.get("lstm_size", lstm_size)
+        self.model_kwargs.setdefault("lstm_size", self.lstm_size)
 
     def init(self, key, example_obs):
         B = example_obs.shape[0]

@@ -133,8 +133,8 @@ class RecurrentCategoricalPgAgent(CategoricalPgAgent):
 
     def __init__(self, ModelCls=AtariLstmModel, lstm_size=512, **kwargs):
         super().__init__(ModelCls=ModelCls, **kwargs)
-        self.lstm_size = lstm_size
-        self.model_kwargs.setdefault("lstm_size", lstm_size)
+        self.lstm_size = self.model_kwargs.get("lstm_size", lstm_size)
+        self.model_kwargs.setdefault("lstm_size", self.lstm_size)
 
     def init(self, key, example_obs):
         B = example_obs.shape[0]
@@ -187,8 +187,8 @@ class RecurrentGaussianPgAgent(GaussianPgAgent):
 
     def __init__(self, ModelCls=MujocoLstmModel, lstm_size=256, **kwargs):
         super().__init__(ModelCls=ModelCls, **kwargs)
-        self.lstm_size = lstm_size
-        self.model_kwargs.setdefault("lstm_size", lstm_size)
+        self.lstm_size = self.model_kwargs.get("lstm_size", lstm_size)
+        self.model_kwargs.setdefault("lstm_size", self.lstm_size)
 
     def init(self, key, example_obs):
         B = example_obs.shape[0]

@@ -142,6 +142,7 @@ class AtariR2d1Model(nn.Module):
     n_actions: int
     fc_sizes: Sequence[int] = (512,)
     lstm_size: int = 512
+    lstm_impl: str = "scan"
     dueling: bool = True
     channels: Sequence[int] = ATARI_CHANNELS
     kernel_sizes: Sequence[int] = ATARI_KERNELS
@@ -167,7 +168,8 @@ class AtariR2d1Model(nn.Module):
             done_tb = jnp.zeros((T, B), jnp.bool_)
         else:
             done_tb = done.reshape(T, B)
-        y, next_state = LstmCore(self.lstm_size)(lstm_in, done_tb, rnn_state)
+        y, next_state = LstmCore(self.lstm_size, self.lstm_impl)(
+            lstm_in, done_tb, rnn_state)
         y = y.reshape(T * B, -1)
         if self.dueling:
             q = DuelingHead(self.fc_sizes, self.n_actions,
@@ -208,6 +210,7 @@ class R2d1MlpModel(nn.Module):
     n_actions: int
     hidden_sizes: Sequence[int] = (64,)
     lstm_size: int = 64
+    lstm_impl: str = "scan"
     dueling: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
@@ -224,7 +227,8 @@ class R2d1MlpModel(nn.Module):
         lstm_in = jnp.concatenate([x, pa, pr], axis=-1)
         done_tb = (jnp.zeros((T, B), jnp.bool_) if done is None
                    else done.reshape(T, B))
-        y, next_state = LstmCore(self.lstm_size)(lstm_in, done_tb, rnn_state)
+        y, next_state = LstmCore(self.lstm_size, self.lstm_impl)(
+            lstm_in, done_tb, rnn_state)
         y = y.reshape(T * B, -1)
         if self.dueling:
             q = DuelingHead(self.hidden_sizes, self.n_actions,

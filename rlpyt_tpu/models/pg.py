@@ -55,6 +55,7 @@ class AtariLstmModel(nn.Module):
     n_actions: int
     fc_sizes: Sequence[int] = (512,)
     lstm_size: int = 512
+    lstm_impl: str = "scan"
     channels: Sequence[int] = ATARI_CHANNELS
     kernel_sizes: Sequence[int] = ATARI_KERNELS
     strides: Sequence[int] = ATARI_STRIDES
@@ -79,7 +80,8 @@ class AtariLstmModel(nn.Module):
         lstm_in = jnp.concatenate([x, pa, pr], axis=-1)
         done_tb = (jnp.zeros((T, B), jnp.bool_) if done is None
                    else done.reshape(T, B))
-        y, next_state = LstmCore(self.lstm_size)(lstm_in, done_tb, rnn_state)
+        y, next_state = LstmCore(self.lstm_size, self.lstm_impl)(
+            lstm_in, done_tb, rnn_state)
         y = y.reshape(T * B, -1)
         pi_logits = nn.Dense(self.n_actions)(y)
         v = nn.Dense(1)(y)[..., 0]
@@ -124,6 +126,7 @@ class MujocoLstmModel(nn.Module):
     action_size: int
     hidden_sizes: Sequence[int] = (256,)
     lstm_size: int = 256
+    lstm_impl: str = "scan"
     init_log_std: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
 
@@ -138,7 +141,8 @@ class MujocoLstmModel(nn.Module):
         lstm_in = jnp.concatenate([x, pa, pr], axis=-1)
         done_tb = (jnp.zeros((T, B), jnp.bool_) if done is None
                    else done.reshape(T, B))
-        y, next_state = LstmCore(self.lstm_size)(lstm_in, done_tb, rnn_state)
+        y, next_state = LstmCore(self.lstm_size, self.lstm_impl)(
+            lstm_in, done_tb, rnn_state)
         y = y.reshape(T * B, -1)
         mu = nn.Dense(self.action_size)(y)
         v = nn.Dense(1)(y)[..., 0]
