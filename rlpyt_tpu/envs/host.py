@@ -76,10 +76,43 @@ def _make_env(spec) -> "GymEnv":
     return env if isinstance(env, GymEnv) else GymEnv(env)
 
 
-def _worker(env_fns, lo, hi, shm, cmd, act_ready, obs_ready, seed,
-            cpu: Optional[int]):
+class _EventMasterSync:
+    """multiprocessing.Event fallback sync (portable; 2·W syscalls/step).
+    The fast path is the futex barrier in csrc/hostfarm.c."""
+
+    def __init__(self, pairs, cmd_value):
+        self._pairs = pairs
+        self._cmd = cmd_value
+
+    def signal(self, cmd: int):
+        self._cmd.value = cmd
+        for act_ready, _ in self._pairs:
+            act_ready.set()
+
+    def wait(self):
+        for _, obs_ready in self._pairs:
+            obs_ready.wait()
+            obs_ready.clear()
+
+
+class _EventWorkerSync:
+    def __init__(self, act_ready, obs_ready, cmd_value):
+        self._act = act_ready
+        self._obs = obs_ready
+        self._cmd = cmd_value
+
+    def wait(self) -> int:
+        self._act.wait()
+        self._act.clear()
+        return int(self._cmd.value)
+
+    def post(self):
+        self._obs.set()
+
+
+def _worker(env_fns, lo, hi, shm, sync, seed, cpu: Optional[int]):
     """(rlpyt/samplers/parallel/worker.py:sampling_process ~L10): own a
-    slice [lo, hi) of envs, loop on the event pair, auto-reset on done."""
+    slice [lo, hi) of envs, loop on the step barrier, auto-reset on done."""
     if cpu is not None:
         try:
             os.sched_setaffinity(0, {cpu})
@@ -89,13 +122,11 @@ def _worker(env_fns, lo, hi, shm, cmd, act_ready, obs_ready, seed,
     obs_np, act_np, rew_np, done_np, timeout_np = (
         spec.view() for spec in shm)
     while True:
-        act_ready.wait()
-        act_ready.clear()
-        c = int(cmd.value)
+        c = sync.wait()
         if c == CMD_CLOSE:
             for e in envs:
                 e.close()
-            obs_ready.set()
+            sync.post()
             return
         for i, env in enumerate(envs):
             b = lo + i
@@ -113,7 +144,7 @@ def _worker(env_fns, lo, hi, shm, cmd, act_ready, obs_ready, seed,
                 rew_np[b] = rew
                 done_np[b] = done
                 timeout_np[b] = truncated and not terminated
-        obs_ready.set()
+        sync.post()
 
 
 class _ShmSpec:
@@ -139,10 +170,14 @@ class SharedMemVecEnv:
 
     def __init__(self, env_fns: Sequence, n_workers: int = 0,
                  seed: int = 0, cpus: Optional[Sequence[int]] = None,
-                 start_method: Optional[str] = None):
+                 start_method: Optional[str] = None, sync: str = "auto"):
         """``env_fns``: gym id strings (picklable → the farm uses
         ``spawn``, safe after JAX initializes) or callables (requires
-        ``fork`` — create the farm BEFORE the first JAX computation)."""
+        ``fork`` — create the farm BEFORE the first JAX computation).
+
+        ``sync``: "c" = futex barrier (csrc/hostfarm.c, one C call per
+        side per step), "events" = multiprocessing.Event pairs, "auto" =
+        C when the library builds, else events."""
         self.B = len(env_fns)
         probe = _make_env(env_fns[0])
         self.spaces = probe.spaces
@@ -171,29 +206,44 @@ class SharedMemVecEnv:
         self.obs, self.act, self.rew, self.done, self.timeout = (
             sp.view() for sp in specs)
         shm = specs
-        self._cmd = ctx.Value("i", CMD_STEP)
-        self._pairs = []
+
+        from rlpyt_tpu.envs import hostfarm_c
+        use_c = (sync == "c") or (sync == "auto"
+                                  and hostfarm_c.get_lib() is not None)
+        if use_c and hostfarm_c.get_lib() is None:
+            raise RuntimeError("sync='c' requested but the hostfarm "
+                               "library failed to build")
+        if use_c:
+            ctrl = _ShmSpec(
+                (hostfarm_c.CTRL_SLOTS_BASE
+                 + hostfarm_c.CTRL_SLOTS_PER_WORKER * W,),
+                np.uint32, ctx)
+            self._sync = hostfarm_c.CFarmMaster(ctrl, W)
+            worker_syncs = [hostfarm_c.CFarmWorker(ctrl, w)
+                            for w in range(W)]
+        else:
+            cmd_value = ctx.Value("i", CMD_STEP)
+            pairs = [(ctx.Event(), ctx.Event()) for _ in range(W)]
+            self._sync = _EventMasterSync(pairs, cmd_value)
+            worker_syncs = [_EventWorkerSync(a, o, cmd_value)
+                            for a, o in pairs]
+        self.sync_impl = "c" if use_c else "events"
+
         self._procs = []
         for w in range(W):
-            act_ready, obs_ready = ctx.Event(), ctx.Event()
             cpu = cpus[w % len(cpus)] if cpus else None
             p = ctx.Process(
                 target=_worker,
                 args=(list(env_fns), w * per, (w + 1) * per, shm,
-                      self._cmd, act_ready, obs_ready, seed, cpu),
+                      worker_syncs[w], seed, cpu),
                 daemon=True)
             p.start()
-            self._pairs.append((act_ready, obs_ready))
             self._procs.append(p)
         self.closed = False
 
     def _signal_and_wait(self, cmd: int):
-        self._cmd.value = cmd
-        for act_ready, _ in self._pairs:
-            act_ready.set()
-        for _, obs_ready in self._pairs:
-            obs_ready.wait()
-            obs_ready.clear()
+        self._sync.signal(cmd)
+        self._sync.wait()
 
     def reset(self) -> np.ndarray:
         self._signal_and_wait(CMD_RESET)

@@ -108,6 +108,43 @@ def carry_sharding(mesh: Mesh, carry, B: int):
 
 
 # ---------------------------------------------------------------------------
+# Multi-host (replaces rlpyt's single-node torch.distributed rendezvous,
+# runners/sync_rl.py ~L100 + utils/synchronize.py:find_port).
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Join the multi-host process group (jax.distributed.initialize).
+
+    On TPU pods the arguments are discovered from the environment; pass
+    them explicitly on other platforms.  Idempotent: safe to call when
+    already initialized or in single-process runs.  Returns this host's
+    process index.  After this, ``jax.devices()`` is the GLOBAL device
+    list and ``MeshSpec.make()`` builds pod-wide meshes; GSPMD compiles
+    gradient/sampling collectives over ICI within a slice and DCN across
+    slices."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process environment
+    return jax.process_index()
+
+
+def host_env_slice(B: int) -> slice:
+    """Per-host lane range for HOST env farms under a dp-sharded global
+    batch: process i owns lanes [i·B/H, (i+1)·B/H) (the analogue of
+    rlpyt's n_envs_list worker split, samplers/parallel/base.py ~L60).
+    On-device (jit-lockstep) envs need no split — GSPMD shards them."""
+    n = jax.process_count()
+    assert B % n == 0, f"global B={B} must divide over {n} hosts"
+    per = B // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+# ---------------------------------------------------------------------------
 # Tensor parallelism (beyond reference parity): column-shard dense/conv
 # output dims over 'mp'.  XLA inserts the matching all-reduces.
 
