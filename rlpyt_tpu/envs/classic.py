@@ -160,6 +160,110 @@ class Pendulum(Env):
         return {"timeout": jnp.zeros((), jnp.bool_)}
 
 
+class AcrobotState(NamedTuple):
+    theta1: jax.Array
+    theta2: jax.Array
+    dtheta1: jax.Array
+    dtheta2: jax.Array
+    t: jax.Array
+
+
+class Acrobot(Env):
+    """Acrobot-v1 dynamics ("book" formulation, single RK4 step of dt=0.2,
+    gym-compatible constants) — underactuated two-link swing-up with
+    discrete {-1, 0, +1} torque on the elbow joint."""
+
+    link_length_1 = 1.0
+    link_length_2 = 1.0
+    link_mass_1 = 1.0
+    link_mass_2 = 1.0
+    link_com_1 = 0.5
+    link_com_2 = 0.5
+    link_moi = 1.0
+    max_vel_1 = 4 * jnp.pi
+    max_vel_2 = 9 * jnp.pi
+    dt = 0.2
+    gravity = 9.8
+
+    def __init__(self, max_steps: int = 500):
+        self.max_steps = max_steps
+
+    @property
+    def observation_space(self):
+        high = [1.0, 1.0, 1.0, 1.0, float(self.max_vel_1),
+                float(self.max_vel_2)]
+        return FloatBox(low=[-h for h in high], high=high, shape=(6,))
+
+    @property
+    def action_space(self):
+        return IntBox(0, 3)
+
+    @property
+    def horizon(self):
+        return self.max_steps
+
+    def _obs(self, s: AcrobotState) -> jax.Array:
+        return jnp.stack([
+            jnp.cos(s.theta1), jnp.sin(s.theta1),
+            jnp.cos(s.theta2), jnp.sin(s.theta2),
+            s.dtheta1, s.dtheta2,
+        ]).astype(jnp.float32)
+
+    def _dsdt(self, y, torque):
+        m1, m2 = self.link_mass_1, self.link_mass_2
+        l1 = self.link_length_1
+        lc1, lc2 = self.link_com_1, self.link_com_2
+        i1 = i2 = self.link_moi
+        g = self.gravity
+        theta1, theta2, dtheta1, dtheta2 = y
+        d1 = (m1 * lc1**2 + m2 * (l1**2 + lc2**2
+                                  + 2 * l1 * lc2 * jnp.cos(theta2)) + i1 + i2)
+        d2 = m2 * (lc2**2 + l1 * lc2 * jnp.cos(theta2)) + i2
+        phi2 = m2 * lc2 * g * jnp.cos(theta1 + theta2 - jnp.pi / 2.0)
+        phi1 = (-m2 * l1 * lc2 * dtheta2**2 * jnp.sin(theta2)
+                - 2 * m2 * l1 * lc2 * dtheta2 * dtheta1 * jnp.sin(theta2)
+                + (m1 * lc1 + m2 * l1) * g * jnp.cos(theta1 - jnp.pi / 2.0)
+                + phi2)
+        ddtheta2 = ((torque + d2 / d1 * phi1
+                     - m2 * l1 * lc2 * dtheta1**2 * jnp.sin(theta2) - phi2)
+                    / (m2 * lc2**2 + i2 - d2**2 / d1))
+        ddtheta1 = -(d2 * ddtheta2 + phi1) / d1
+        return jnp.stack([dtheta1, dtheta2, ddtheta1, ddtheta2])
+
+    def reset(self, key, params=None):
+        vals = jax.random.uniform(key, (4,), minval=-0.1, maxval=0.1)
+        s = AcrobotState(vals[0], vals[1], vals[2], vals[3],
+                         jnp.zeros((), jnp.int32))
+        return s, self._obs(s)
+
+    def step(self, key, state: AcrobotState, action, params=None):
+        torque = (action - 1).astype(jnp.float32)  # {0,1,2} -> {-1,0,+1}
+        y0 = jnp.stack([state.theta1, state.theta2,
+                        state.dtheta1, state.dtheta2])
+        h = self.dt
+        k1 = self._dsdt(y0, torque)
+        k2 = self._dsdt(y0 + h / 2.0 * k1, torque)
+        k3 = self._dsdt(y0 + h / 2.0 * k2, torque)
+        k4 = self._dsdt(y0 + h * k3, torque)
+        y = y0 + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        wrap = lambda x: ((x + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+        theta1 = wrap(y[0])
+        theta2 = wrap(y[1])
+        dtheta1 = jnp.clip(y[2], -self.max_vel_1, self.max_vel_1)
+        dtheta2 = jnp.clip(y[3], -self.max_vel_2, self.max_vel_2)
+        t = state.t + 1
+        new_state = AcrobotState(theta1, theta2, dtheta1, dtheta2, t)
+        terminated = -jnp.cos(theta1) - jnp.cos(theta2 + theta1) > 1.0
+        truncated = t >= self.max_steps
+        done = terminated | truncated
+        reward = jnp.where(terminated, 0.0, -1.0).astype(jnp.float32)
+        info = {"timeout": truncated & ~terminated}
+        return new_state, EnvStep(self._obs(new_state), reward, done, info)
+
+    def example_info(self):
+        return {"timeout": jnp.zeros((), jnp.bool_)}
+
+
 class MountainCarState(NamedTuple):
     position: jax.Array
     velocity: jax.Array
@@ -216,6 +320,63 @@ class MountainCar(Env):
         info = {"timeout": truncated & ~terminated}
         return new_state, EnvStep(
             self._obs(new_state), jnp.float32(-1.0), done, info)
+
+    def example_info(self):
+        return {"timeout": jnp.zeros((), jnp.bool_)}
+
+
+class ContinuousMountainCar(Env):
+    """MountainCarContinuous-v0 — sparse-reward continuous control
+    (gym-compatible constants; the exploration stress test for SAC/DDPG)."""
+
+    min_position = -1.2
+    max_position = 0.6
+    max_speed = 0.07
+    goal_position = 0.45
+    power = 0.0015
+
+    def __init__(self, max_steps: int = 999):
+        self.max_steps = max_steps
+
+    @property
+    def observation_space(self):
+        return FloatBox(low=[self.min_position, -self.max_speed],
+                        high=[self.max_position, self.max_speed], shape=(2,))
+
+    @property
+    def action_space(self):
+        return FloatBox(low=-1.0, high=1.0, shape=(1,))
+
+    @property
+    def horizon(self):
+        return self.max_steps
+
+    def _obs(self, s):
+        return jnp.stack([s.position, s.velocity]).astype(jnp.float32)
+
+    def reset(self, key, params=None):
+        position = jax.random.uniform(key, (), minval=-0.6, maxval=-0.4)
+        s = MountainCarState(position, jnp.zeros(()), jnp.zeros((), jnp.int32))
+        return s, self._obs(s)
+
+    def step(self, key, state, action, params=None):
+        force = jnp.clip(action[0], -1.0, 1.0)
+        velocity = state.velocity + force * self.power - 0.0025 * jnp.cos(
+            3 * state.position)
+        velocity = jnp.clip(velocity, -self.max_speed, self.max_speed)
+        position = jnp.clip(state.position + velocity,
+                            self.min_position, self.max_position)
+        velocity = jnp.where(
+            (position <= self.min_position) & (velocity < 0), 0.0, velocity)
+        t = state.t + 1
+        new_state = MountainCarState(position, velocity, t)
+        terminated = position >= self.goal_position
+        truncated = t >= self.max_steps
+        done = terminated | truncated
+        reward = (jnp.where(terminated, 100.0, 0.0)
+                  - 0.1 * force**2).astype(jnp.float32)
+        info = {"timeout": truncated & ~terminated}
+        return new_state, EnvStep(self._obs(new_state), reward, done, info)
 
     def example_info(self):
         return {"timeout": jnp.zeros((), jnp.bool_)}
