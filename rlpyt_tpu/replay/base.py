@@ -15,6 +15,12 @@ Differences from the reference, by design:
   XLA (no carry state between inserts).
 - The ring length is rounded up to a multiple of the sampler's T so insert
   is a single aligned slice write.
+- Observation leaves are stored with feature dims FLATTENED
+  ([size_T, B, prod(feat)]) and reshaped back after each gather: a random
+  gather of contiguous rows runs at HBM bandwidth on TPU, while gathering
+  [1, 1, K, H, W] slices (minor dim H*W-unaligned) is ~100× slower in the
+  XLA:TPU lowering.  Measured on v5e, MinAtar-shaped store: 11.0 ms vs
+  0.02 ms for 32×1024 draws.
 """
 from __future__ import annotations
 
@@ -90,6 +96,10 @@ class BaseReplayBuffer:
 
     def init(self, example: SamplesToBuffer) -> ReplayState:
         """``example``: single-step pytree (no leading dims)."""
+        self._obs_shapes = [o.shape for o in
+                            jax.tree.leaves(example.observation)]
+        example = example._replace(
+            observation=self._flatten_obs(example.observation, lead=0))
         data = buffer_from_example(example, (self.size_T, self.B))
         return ReplayState(
             data=data,
@@ -97,12 +107,30 @@ class BaseReplayBuffer:
             filled_t=jnp.zeros((), jnp.int32),
         )
 
+    # -- flattened-feature observation storage (see module docstring) ----
+
+    @staticmethod
+    def _flatten_obs(obs, lead: int):
+        """Reshape obs leaves with ``lead`` leading dims to flat rows."""
+        return jax.tree.map(
+            lambda o: o.reshape(o.shape[:lead] + (-1,))
+            if o.ndim - lead > 1 else o, obs)
+
+    def _restore_obs(self, gathered, batch_shape: tuple):
+        """Reshape row-gathered obs leaves back to their feature shapes."""
+        leaves, treedef = jax.tree.flatten(gathered)
+        out = [l.reshape(batch_shape + shp) if len(shp) > 1 else l
+               for l, shp in zip(leaves, self._obs_shapes)]
+        return jax.tree.unflatten(treedef, out)
+
     def append(self, state: ReplayState, samples: SamplesToBuffer
                ) -> ReplayState:
         """Insert a [T, B] block at the cursor
         (rlpyt/replays/n_step.py:append_samples).  T must equal sample_T so
         the write is one aligned dynamic_update_slice (size_T % T == 0 ⇒ no
         wraparound split)."""
+        samples = samples._replace(
+            observation=self._flatten_obs(samples.observation, lead=2))
         data = tree_dynamic_set(state.data, state.t, samples, axis=0)
         t = (state.t + self.sample_T) % self.size_T
         filled = jnp.minimum(state.filled_t + self.sample_T, self.size_T)
@@ -136,9 +164,10 @@ class BaseReplayBuffer:
                 b_idx: jax.Array, k: int):
         """Observation gather hook — overridden by the frame-compressed
         buffers (replay/frame.py) to reconstruct frame stacks."""
-        return jax.tree.map(
+        rows = jax.tree.map(
             lambda l: l[(t_idx + k) % self.size_T, b_idx],
             state.data.observation)
+        return self._restore_obs(rows, t_idx.shape)
 
     def extract_batch(self, state: ReplayState, t_idx: jax.Array,
                       b_idx: jax.Array,

@@ -49,7 +49,9 @@ class FrameReplayMixin:
     def _obs_at(self, state, t_idx, b_idx, k: int):
         """Rebuild [batch, K, H, W] stacks from single-frame rows; frames
         from before the episode start are zeroed
-        (rlpyt frame.py stack-boundary masking)."""
+        (rlpyt frame.py stack-boundary masking).  Frames are stored as
+        flat rows (base.py flattened-feature layout) and reshaped once
+        after the K gathers."""
         d = state.data
         K = self.frames_per_obs
         t0 = t_idx + k
@@ -69,7 +71,8 @@ class FrameReplayMixin:
                     valid.reshape(valid.shape + (1,) * (l.ndim - 1)),
                     l, jnp.zeros_like(l)), f))
         frames = frames[::-1]                        # oldest → newest
-        return jax.tree.map(lambda *fs: jnp.stack(fs, axis=1), *frames)
+        stacks = jax.tree.map(lambda *fs: jnp.stack(fs, axis=1), *frames)
+        return self._restore_obs(stacks, t_idx.shape + (K,))
 
 
 class UniformFrameReplayBuffer(FrameReplayMixin, UniformReplayBuffer):

@@ -86,6 +86,12 @@ class PrioritizedSequenceReplayBuffer:
 
     def init(self, example: SamplesToBuffer, rnn_example) -> SequenceReplayState:
         """``rnn_example``: per-env rnn state pytree with leaves [H]."""
+        from rlpyt_tpu.replay.base import BaseReplayBuffer
+        self._obs_shapes = [o.shape for o in
+                            jax.tree.leaves(example.observation)]
+        example = example._replace(
+            observation=BaseReplayBuffer._flatten_obs(
+                example.observation, lead=0))
         data = buffer_from_example(example, (self.size_T, self.B))
         rnn = buffer_from_example(rnn_example, (self.n_slots, self.B))
         return SequenceReplayState(
@@ -105,6 +111,10 @@ class PrioritizedSequenceReplayBuffer:
         stored ``prev_rnn_state`` subsampled by the algo).
         ``input_priorities``: optional [T/interval, B] pre-α priorities.
         """
+        from rlpyt_tpu.replay.base import BaseReplayBuffer
+        samples = samples._replace(
+            observation=BaseReplayBuffer._flatten_obs(
+                samples.observation, lead=2))
         data = tree_dynamic_set(state.data, state.t, samples, axis=0)
         slot0 = state.t // self.interval
         n_new = self.sample_T // self.interval
@@ -191,14 +201,23 @@ class PrioritizedSequenceReplayBuffer:
             init_rnn_state=init_rnn, is_weights=w,
             slots=(slot_idx, b_idx))
 
+    def _restore_obs(self, gathered, batch_shape: tuple):
+        """Reshape row-gathered obs leaves back to their feature shapes
+        (base.py flattened-feature layout)."""
+        leaves, treedef = jax.tree.flatten(gathered)
+        out = [l.reshape(batch_shape + shp) if len(shp) > 1 else l
+               for l, shp in zip(leaves, self._obs_shapes)]
+        return jax.tree.unflatten(treedef, out)
+
     def _obs_window(self, state: SequenceReplayState, t0: jax.Array,
                     b_idx: jax.Array):
         """Gather [W, b, ...] observation windows; overridden by the frame
         mixin to reconstruct stacks from single-frame storage."""
         rows = (t0[None, :]
                 + jnp.arange(self.window_T)[:, None]) % self.size_T
-        return jax.tree.map(lambda l: l[rows, b_idx[None, :]],
+        flat = jax.tree.map(lambda l: l[rows, b_idx[None, :]],
                             state.data.observation)
+        return self._restore_obs(flat, rows.shape)
 
     def update_priorities(self, state: SequenceReplayState,
                           slots: Tuple[jax.Array, jax.Array],
@@ -272,7 +291,8 @@ class SequenceFrameReplayMixin:
                     valid.reshape(valid.shape + (1,) * (l.ndim - 2)),
                     l, jnp.zeros_like(l)), f))
         frames = frames[::-1]                        # oldest → newest
-        return jax.tree.map(lambda *fs: jnp.stack(fs, axis=2), *frames)
+        stacks = jax.tree.map(lambda *fs: jnp.stack(fs, axis=2), *frames)
+        return self._restore_obs(stacks, rows.shape + (K,))
 
 
 class PrioritizedSequenceFrameReplayBuffer(SequenceFrameReplayMixin,

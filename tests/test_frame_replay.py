@@ -46,8 +46,9 @@ def test_storage_is_compressed():
     buf = UniformFrameReplayBuffer(size=64, B=2, sample_T=8,
                                    frames_per_obs=K)
     state = buf.init(example())
-    # stored obs is one frame per step, not K
-    assert state.data.observation.shape == (buf.size_T, 2, H, W)
+    # stored obs is one frame per step, not K — kept as flat rows
+    # (replay/base.py flattened-feature layout for fast TPU gathers)
+    assert state.data.observation.shape == (buf.size_T, 2, H * W)
 
 
 def test_stack_reconstruction():

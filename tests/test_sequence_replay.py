@@ -171,8 +171,8 @@ def test_sequence_frame_reconstruction():
     rnn0 = (jnp.zeros(4), jnp.zeros(4))
     state = buf.init(make_stacked_example(K), rnn0)
     state_ref = ref.init(make_stacked_example(K), rnn0)
-    # storage really is single-frame
-    assert state.data.observation.shape == (64, 1, 2, 2)
+    # storage really is single-frame (flat rows: flattened-feature layout)
+    assert state.data.observation.shape == (64, 1, 4)
     traj = make_stacked_traj(80, 1, done_at=(5, 11, 21, 37, 59, 66), K=K)
     for i in range(5):
         block = jax.tree.map(lambda l: l[i * 16:(i + 1) * 16], traj)
