@@ -1,9 +1,10 @@
 """Headline benchmark — env-steps/s/chip for the fused rollout+learn loop
 on the Atari-class flagship config (MinAtar Breakout DQN, conv model,
 HBM replay; the BASELINE.json "Breakout" configuration on the on-device
-deterministic env path).  Large-batch throughput configuration (B=1024
-env lanes, update batch 1024, replay ratio 1 — the Stooke & Abbeel
-arXiv:1803.02811 regime the reference descends from).
+deterministic env path).  Large-batch throughput configuration (B=8192
+env lanes, update batch 8192, 4M-transition replay, replay ratio 1 —
+the Stooke & Abbeel arXiv:1803.02811 regime the reference descends
+from, scaled to saturate one chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -30,14 +31,14 @@ def main():
     from rlpyt_tpu.runners.train import MinibatchRl
     from rlpyt_tpu.samplers.rollout import BatchSpec
 
-    B, T = 1024, 32
+    B, T = 8192, 32
     agent = DqnAgent(
         ModelCls=AtariDqnModel,
         model_kwargs=dict(channels=(16,), kernel_sizes=(3,), strides=(1,),
                           paddings=(0,), fc_sizes=(128,)),
         eps_steps=250_000, eps_final=0.1)
-    algo = DQN(discount=0.99, batch_size=1024, min_steps_learn=0,
-               replay_size=1_000_000, replay_ratio=1.0,
+    algo = DQN(discount=0.99, batch_size=8192, min_steps_learn=0,
+               replay_size=4_000_000, replay_ratio=1.0,
                target_update_interval=500, learning_rate=3e-4,
                double_dqn=True, n_step_return=3)
     runner = MinibatchRl(algo=algo, agent=agent, env=Breakout(),
