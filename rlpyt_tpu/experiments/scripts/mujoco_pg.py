@@ -1,0 +1,67 @@
+"""MuJoCo PPO/A2C train script over the host bridge (reference:
+rlpyt/experiments/scripts/mujoco/pg/train/mujoco_ff_ppo.py — decode config,
+construct Sampler/Algo/Agent/Runner, logger_context, runner.train()).
+
+Continuous control with real MuJoCo (gymnasium) stepped in the host env
+farm; the Gaussian actor-critic runs batched on device (the action-server
+pattern, rlpyt samplers/parallel/gpu/action_server.py ~L15).
+"""
+from __future__ import annotations
+
+import copy
+import os
+import sys
+
+from rlpyt_tpu.agents.pg import GaussianPgAgent
+from rlpyt_tpu.algos.pg import A2C, PPO
+from rlpyt_tpu.envs.host import SerialVecEnv, SharedMemVecEnv
+from rlpyt_tpu.experiments.configs.mujoco_pg import configs
+from rlpyt_tpu.runners.host import HostMinibatchRl
+from rlpyt_tpu.utils.logging import logger_context
+from rlpyt_tpu.utils.variant import load_variant, update_config
+
+ALGOS = {"ppo": PPO, "a2c": A2C}
+
+
+def build_and_train(config_key: str = "ppo", log_dir=None, run_id: int = 0,
+                    seed: int = 0, variant=None, config_overrides=None,
+                    serial: bool = False):
+    config = copy.deepcopy(configs[config_key])
+    if variant is not None:
+        config = update_config(config, variant)
+    if config_overrides:
+        config = update_config(config, config_overrides)
+
+    sampler = config["sampler"]
+    VecCls = SerialVecEnv if serial else SharedMemVecEnv
+    farm = VecCls([config["env"]["id"]] * sampler["batch_B"],
+                  n_workers=sampler.get("n_workers", 0), seed=seed)
+    agent = GaussianPgAgent(model_kwargs=config["model"], **config["agent"])
+    algo = ALGOS[config_key](**config["algo"])
+    runner_kwargs = dict(algo=algo, agent=agent, vec_env=farm,
+                         batch_T=sampler["batch_T"], seed=seed,
+                         **config["runner"])
+    try:
+        if log_dir is not None:
+            name = f"mujoco_{config['env']['id']}_{config_key}"
+            with logger_context(log_dir, run_id, name,
+                                config=config) as logger:
+                runner = HostMinibatchRl(logger=logger, **runner_kwargs)
+                result = runner.train()
+        else:
+            runner = HostMinibatchRl(**runner_kwargs)
+            result = runner.train()
+    finally:
+        farm.close()
+    return runner, result
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    log_dir = args[0] if len(args) > 0 else None
+    run_id = int(args[1]) if len(args) > 1 else 0
+    config_key = args[2] if len(args) > 2 else "ppo"
+    variant = (load_variant(log_dir)
+               if log_dir and os.path.exists(
+                   os.path.join(log_dir, "variant.json")) else None)
+    build_and_train(config_key, log_dir, run_id, variant=variant)

@@ -118,8 +118,7 @@ class HostMinibatchRl:
             to_l.append(np.array(timeout))
             pa_l.append(self._prev_action.copy())
             pr_l.append(self._prev_reward.copy())
-            info_l.append({k_: np.asarray(v)
-                           for k_, v in astep.agent_info.items()})
+            info_l.append(jax.device_get(astep.agent_info))
 
             # episode stats + prev for next step (auto-reset zeroing)
             self._ep_ret += rew
@@ -139,9 +138,12 @@ class HostMinibatchRl:
 
         self._cum_steps += T * B
         agent_info = {}
-        if info_l and info_l[0]:
-            agent_info = {k_: jnp.asarray(np.stack([d[k_] for d in info_l]))
-                          for k_ in info_l[0]}
+        if info_l and jax.tree_util.tree_leaves(info_l[0]):
+            # Stack per-step agent_info as a pytree (nested DistInfo structs
+            # must survive — np.asarray would fold tuple structure into a
+            # spurious leading axis).
+            agent_info = jax.tree.map(
+                lambda *xs: jnp.asarray(np.stack(xs)), *info_l)
         samples = Samples(
             observation=jnp.asarray(np.stack(obs_l)),
             action=jnp.asarray(np.stack(act_l)),
