@@ -36,10 +36,19 @@ def build_and_train(config_key: str = "ppo", log_dir=None, run_id: int = 0,
     VecCls = SerialVecEnv if serial else SharedMemVecEnv
     farm = VecCls([config["env"]["id"]] * sampler["batch_B"],
                   n_workers=sampler.get("n_workers", 0), seed=seed)
+    eval_farm = None
+    if sampler.get("eval_n_envs", 0) > 0:
+        eval_farm = VecCls(
+            [config["eval_env"]["id"]] * sampler["eval_n_envs"],
+            n_workers=sampler.get("n_workers", 0), seed=seed + 10_000)
     agent = GaussianPgAgent(model_kwargs=config["model"], **config["agent"])
     algo = ALGOS[config_key](**config["algo"])
     runner_kwargs = dict(algo=algo, agent=agent, vec_env=farm,
                          batch_T=sampler["batch_T"], seed=seed,
+                         eval_vec_env=eval_farm,
+                         eval_max_steps=sampler.get("eval_max_steps", 2_500),
+                         eval_max_trajectories=sampler.get(
+                             "eval_max_trajectories"),
                          **config["runner"])
     try:
         if log_dir is not None:
@@ -53,6 +62,8 @@ def build_and_train(config_key: str = "ppo", log_dir=None, run_id: int = 0,
             result = runner.train()
     finally:
         farm.close()
+        if eval_farm is not None:
+            eval_farm.close()
     return runner, result
 
 

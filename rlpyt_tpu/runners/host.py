@@ -42,7 +42,8 @@ class HostMinibatchRl:
     def __init__(self, algo, agent, vec_env, batch_T: int, n_steps: int,
                  seed: int = 0, log_interval_steps: int = int(1e5),
                  logger: Optional[TabularLogger] = None,
-                 eval_vec_env=None, eval_max_steps: int = 2_500):
+                 eval_vec_env=None, eval_max_steps: int = 2_500,
+                 eval_max_trajectories: Optional[int] = None):
         self.algo = algo
         self.agent = agent
         self.vec = vec_env
@@ -53,6 +54,7 @@ class HostMinibatchRl:
         self.logger = logger or TabularLogger(None)
         self.eval_vec = eval_vec_env
         self.eval_max_steps = eval_max_steps
+        self.eval_max_trajectories = eval_max_trajectories
 
     # ------------------------------------------------------------------
 
@@ -82,6 +84,13 @@ class HostMinibatchRl:
                                    carry, ctx)
 
         self._step_fn = jax.jit(step_fn)
+
+        def eval_step_fn(params, key, obs, prev_a, prev_r, carry, cum):
+            ctx = StepCtx(cum_steps=cum, is_eval=True)
+            return self.agent.step(params, key, obs, prev_a, prev_r,
+                                   carry, ctx)
+
+        self._eval_step_fn = jax.jit(eval_step_fn)
         self._optimize = jax.jit(self.algo.optimize, donate_argnums=(0, 1))
         self._cum_steps = 0
         # trajectory accounting (host-side TrajInfo parity)
@@ -165,6 +174,71 @@ class HostMinibatchRl:
 
     # ------------------------------------------------------------------
 
+    def _evaluate(self, params):
+        """Offline evaluation on ``eval_vec_env`` (reference:
+        rlpyt/samplers/parallel/cpu/collectors.py:CpuEvalCollector and
+        BaseSampler's eval_max_steps / eval_max_trajectories caps):
+        eval-mode actions, capped by total env-steps and by completed
+        trajectories; episodes still running at the cap are discarded."""
+        vec = self.eval_vec
+        B = vec.B
+        obs = np.array(vec.reset())
+        act_null = np.asarray(vec.spaces.action.null_value())
+        prev_action = np.broadcast_to(
+            act_null, (B,) + act_null.shape).copy()
+        prev_reward = np.zeros((B,), np.float32)
+        carry = self.agent.init_carry(B)
+        ep_ret = np.zeros((B,), np.float64)
+        ep_len = np.zeros((B,), np.int64)
+        ep_nz = np.zeros((B,), np.int64)
+        completed = []
+        max_T = max(1, self.eval_max_steps // B)
+        for _ in range(max_T):
+            self._k_agent, k = jax.random.split(self._k_agent)
+            astep, carry = self._eval_step_fn(
+                params, k, jnp.asarray(obs), jnp.asarray(prev_action),
+                jnp.asarray(prev_reward), carry,
+                jnp.asarray(self._cum_steps, jnp.int32))
+            actions = np.asarray(astep.action)
+            obs, rew, done, _ = vec.step(actions)
+            ep_ret += rew
+            ep_len += 1
+            ep_nz += (rew != 0)
+            for b in np.nonzero(done)[0]:
+                completed.append((ep_ret[b], ep_len[b], ep_nz[b]))
+                ep_ret[b] = ep_len[b] = ep_nz[b] = 0
+            prev_action = np.where(
+                done.reshape((B,) + (1,) * (actions.ndim - 1)),
+                np.zeros_like(actions), actions)
+            prev_reward = np.where(done, 0.0, rew).astype(np.float32)
+            if self.agent.recurrent:
+                carry = self.agent.reset_carry_where(
+                    jnp.asarray(done), carry)
+            if (self.eval_max_trajectories is not None
+                    and len(completed) >= self.eval_max_trajectories):
+                break
+        return completed
+
+    def _log_eval(self, completed):
+        rec = self.logger.record_tabular
+        rec("EvalTrajs", len(completed))
+        if completed:
+            rets = [x[0] for x in completed]
+            rec("EvalReturnAverage", float(np.mean(rets)))
+            rec("EvalReturnMax", float(np.max(rets)))
+            rec("EvalReturnMin", float(np.min(rets)))
+            rec("EvalLengthAverage",
+                float(np.mean([x[1] for x in completed])))
+            rec("EvalNonzeroRewardsAverage",
+                float(np.mean([x[2] for x in completed])))
+        else:
+            for k in ("EvalReturnAverage", "EvalReturnMax",
+                      "EvalReturnMin", "EvalLengthAverage",
+                      "EvalNonzeroRewardsAverage"):
+                rec(k, float("nan"))
+
+    # ------------------------------------------------------------------
+
     def train(self):
         train_state, replay_state = self.startup()
         T, B = self.batch_spec
@@ -180,12 +254,15 @@ class HostMinibatchRl:
             if interval_itrs >= self.itrs_per_interval or itr == self.n_itr - 1:
                 jax.block_until_ready(train_state.params)
                 t1 = time.time()
-                self._log(itr + 1, t1 - t0, t1 - t_start, opt_info)
+                eval_eps = (self._evaluate(train_state.params)
+                            if self.eval_vec is not None else None)
+                self._log(itr + 1, t1 - t0, t1 - t_start, opt_info,
+                          eval_eps)
                 interval_itrs = 0
                 t0 = time.time()
         return train_state, replay_state
 
-    def _log(self, itr, dt, total, opt_info):
+    def _log(self, itr, dt, total, opt_info, eval_eps=None):
         rec = self.logger.record_tabular
         rec("Iteration", itr)
         rec("CumSteps", self._cum_steps)
@@ -207,4 +284,6 @@ class HostMinibatchRl:
         self._window = []
         for field, val in zip(opt_info._fields, opt_info):
             rec(field, float(np.mean(np.asarray(val))))
+        if eval_eps is not None:
+            self._log_eval(eval_eps)
         self.logger.dump_tabular()

@@ -59,3 +59,24 @@ def test_gaussian_agent_info_pytree_survives_host_collection():
         assert jnp.isfinite(mean).all()
     finally:
         farm.close()
+
+
+def test_host_eval_collector_caps():
+    """Host offline eval honors eval_max_steps / eval_max_trajectories
+    (rlpyt BaseSampler eval caps) and logs Eval* keys."""
+    from rlpyt_tpu.experiments.scripts.mujoco_pg import build_and_train
+    runner, (train_state, _) = build_and_train(
+        "ppo", serial=True,
+        config_overrides=dict(
+            env=dict(id="InvertedPendulum-v5"),
+            eval_env=dict(id="InvertedPendulum-v5"),
+            runner=dict(n_steps=256, log_interval_steps=256),
+            sampler=dict(batch_T=32, batch_B=4, eval_n_envs=2,
+                         eval_max_steps=400, eval_max_trajectories=6),
+            algo=dict(minibatches=2, epochs=1)))
+    eps = runner._evaluate(train_state.params)
+    assert len(eps) >= 1
+    # steps cap: 400 total / 2 envs = 200 per lane max
+    assert max(x[1] for x in eps) <= 200
+    rets = [x[0] for x in eps]
+    assert all(r > 0 for r in rets)  # InvertedPendulum reward is +1/step
