@@ -305,3 +305,40 @@ class SerialVecEnv:
     def close(self):
         for env in self.envs:
             env.close()
+
+
+class PairedVecEnv:
+    """Two env-farm halves stepped out of phase by the alternating host
+    runner (rlpyt samplers/parallel/gpu/alternating_sampler.py:
+    AlternatingSampler ~L15 — worker halves alternate so env simulation
+    overlaps batched device inference).
+
+    Presents the combined farm (B = B_a + B_b, lanes of half a first) so
+    generic code (algo sizing, resets, eval) sees one vec env; the
+    alternating collector reaches the halves via ``.halves``.
+    """
+
+    def __init__(self, vec_a, vec_b):
+        self.halves = (vec_a, vec_b)
+        self.B = vec_a.B + vec_b.B
+        self.spaces = vec_a.spaces
+
+    @property
+    def obs(self) -> np.ndarray:
+        return np.concatenate([np.asarray(h.obs) for h in self.halves])
+
+    def reset(self) -> np.ndarray:
+        return np.concatenate([np.asarray(h.reset()) for h in self.halves])
+
+    def step(self, actions: np.ndarray):
+        """Lock-step step of both halves (non-alternating fallback)."""
+        b_a = self.halves[0].B
+        out_a = self.halves[0].step(actions[:b_a])
+        out_b = self.halves[1].step(actions[b_a:])
+        return tuple(
+            np.concatenate([np.asarray(a), np.asarray(b)])
+            for a, b in zip(out_a, out_b))
+
+    def close(self):
+        for h in self.halves:
+            h.close()

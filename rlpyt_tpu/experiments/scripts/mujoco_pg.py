@@ -14,7 +14,11 @@ import sys
 
 from rlpyt_tpu.agents.pg import GaussianPgAgent
 from rlpyt_tpu.algos.pg import A2C, PPO
-from rlpyt_tpu.envs.host import SerialVecEnv, SharedMemVecEnv
+from rlpyt_tpu.envs.host import (
+    PairedVecEnv,
+    SerialVecEnv,
+    SharedMemVecEnv,
+)
 from rlpyt_tpu.experiments.configs.mujoco_pg import configs
 from rlpyt_tpu.runners.host import HostMinibatchRl
 from rlpyt_tpu.utils.logging import logger_context
@@ -25,7 +29,7 @@ ALGOS = {"ppo": PPO, "a2c": A2C}
 
 def build_and_train(config_key: str = "ppo", log_dir=None, run_id: int = 0,
                     seed: int = 0, variant=None, config_overrides=None,
-                    serial: bool = False):
+                    serial: bool = False, alternating: bool = False):
     config = copy.deepcopy(configs[config_key])
     if variant is not None:
         config = update_config(config, variant)
@@ -34,8 +38,16 @@ def build_and_train(config_key: str = "ppo", log_dir=None, run_id: int = 0,
 
     sampler = config["sampler"]
     VecCls = SerialVecEnv if serial else SharedMemVecEnv
-    farm = VecCls([config["env"]["id"]] * sampler["batch_B"],
-                  n_workers=sampler.get("n_workers", 0), seed=seed)
+    if alternating:
+        half = sampler["batch_B"] // 2
+        n_w = max(1, sampler.get("n_workers", 0) // 2)
+        farm = PairedVecEnv(
+            VecCls([config["env"]["id"]] * half, n_workers=n_w, seed=seed),
+            VecCls([config["env"]["id"]] * (sampler["batch_B"] - half),
+                   n_workers=n_w, seed=seed + 5_000))
+    else:
+        farm = VecCls([config["env"]["id"]] * sampler["batch_B"],
+                      n_workers=sampler.get("n_workers", 0), seed=seed)
     eval_farm = None
     if sampler.get("eval_n_envs", 0) > 0:
         eval_farm = VecCls(

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rlpyt_tpu.agents.base import StepCtx
+from rlpyt_tpu.envs.host import PairedVecEnv
 from rlpyt_tpu.samplers.rollout import BatchSpec, Samples, TrajStats
 from rlpyt_tpu.utils.logging import TabularLogger
 
@@ -84,6 +85,9 @@ class HostMinibatchRl:
                                    carry, ctx)
 
         self._step_fn = jax.jit(step_fn)
+        if isinstance(self.vec, PairedVecEnv):
+            self._alt_carry = [self.agent.init_carry(h.B)
+                               for h in self.vec.halves]
 
         def eval_step_fn(params, key, obs, prev_a, prev_r, carry, cum):
             ctx = StepCtx(cum_steps=cum, is_eval=True)
@@ -105,6 +109,8 @@ class HostMinibatchRl:
     def _collect_batch(self, params):
         """One [T, B] batch: the action-server loop
         (rlpyt ActionServer.serve_actions ~L15)."""
+        if isinstance(self.vec, PairedVecEnv):
+            return self._collect_batch_alternating(params)
         T, B = self.batch_spec
         (obs_l, act_l, rew_l, done_l, to_l, pa_l, pr_l,
          info_l) = ([] for _ in range(8))
@@ -168,6 +174,116 @@ class HostMinibatchRl:
             prev_action=jnp.asarray(self._prev_action),
             prev_reward=jnp.asarray(self._prev_reward),
             agent_carry=self._carry,
+            cum_steps=jnp.asarray(self._cum_steps, jnp.int32),
+        )
+        return samples, rollout_state
+
+    # ------------------------------------------------------------------
+
+    def _collect_batch_alternating(self, params):
+        """Alternating collection (rlpyt samplers/parallel/gpu/
+        alternating_sampler.py:AlternatingSampler + its action servers
+        ~L100): env halves step out of phase so each half's host env
+        simulation overlaps the device inference of the other half.
+
+        The reference builds the overlap from out-of-phase worker groups
+        and semaphore pairs; here it rides JAX async dispatch — a half's
+        inference is dispatched (non-blocking), the *other* half's envs
+        are stepped while the device works, and the action future is
+        fetched only afterwards.  Recurrent agents keep two carry banks
+        (rlpyt agents/base.py:AlternatingRecurrentAgentMixin ~L250).
+        """
+        T, Btot = self.batch_spec
+        halves = self.vec.halves
+        b_a = halves[0].B
+        sl = (slice(0, b_a), slice(b_a, Btot))
+        h_obs = [np.array(h.obs) for h in halves]
+        recs = [{k: [] for k in ("obs", "act", "rew", "done", "to",
+                                 "pa", "pr")} for _ in range(2)]
+        infos = ([], [])
+
+        def dispatch(h, t):
+            self._k_agent, k = jax.random.split(self._k_agent)
+            return self._step_fn(
+                params, k, jnp.asarray(h_obs[h]),
+                jnp.asarray(self._prev_action[sl[h]]),
+                jnp.asarray(self._prev_reward[sl[h]]),
+                self._alt_carry[h],
+                jnp.asarray(self._cum_steps + t * Btot, jnp.int32))
+
+        def land(h, astep):
+            """Fetch the half's action future, step its envs, update its
+            slice of the prev/episode bookkeeping."""
+            actions = np.asarray(astep.action)  # blocks on the device
+            rec = recs[h]
+            rec["obs"].append(h_obs[h].copy())
+            rec["act"].append(actions)
+            rec["pa"].append(self._prev_action[sl[h]].copy())
+            rec["pr"].append(self._prev_reward[sl[h]].copy())
+            infos[h].append(jax.device_get(astep.agent_info))
+            obs, rew, done, timeout = halves[h].step(actions)
+            h_obs[h] = np.array(obs)
+            rew = np.array(rew)
+            done = np.array(done)
+            rec["rew"].append(rew)
+            rec["done"].append(done)
+            rec["to"].append(np.array(timeout))
+            self._ep_ret[sl[h]] += rew
+            self._ep_len[sl[h]] += 1
+            self._ep_nz[sl[h]] += (rew != 0)
+            base = sl[h].start or 0
+            for b in np.nonzero(done)[0]:
+                g = base + b
+                self._window.append((self._ep_ret[g], self._ep_len[g],
+                                     self._ep_nz[g]))
+                self._ep_ret[g] = self._ep_len[g] = self._ep_nz[g] = 0
+            self._prev_action[sl[h]] = np.where(
+                done.reshape(done.shape + (1,) * (actions.ndim - 1)),
+                np.zeros_like(actions), actions)
+            self._prev_reward[sl[h]] = np.where(done, 0.0, rew)
+            if self.agent.recurrent:
+                self._alt_carry[h] = self.agent.reset_carry_where(
+                    jnp.asarray(done), self._alt_carry[h])
+
+        fut_a = dispatch(0, 0)
+        for t in range(T):
+            astep_a, self._alt_carry[0] = fut_a
+            fut_b = dispatch(1, t)       # device: half b, step t
+            land(0, astep_a)             # host: half a envs ∥ device b
+            astep_b, self._alt_carry[1] = fut_b
+            if t < T - 1:
+                fut_a = dispatch(0, t + 1)   # device: half a, step t+1
+            land(1, astep_b)             # host: half b envs ∥ device a
+
+        self._cum_steps += T * Btot
+
+        def tb(key, dtype=None):
+            arr = np.stack([np.concatenate([a, b]) for a, b in
+                            zip(recs[0][key], recs[1][key])])
+            return jnp.asarray(arr if dtype is None
+                               else arr.astype(dtype))
+
+        agent_info = {}
+        if infos[0] and jax.tree_util.tree_leaves(infos[0][0]):
+            stacked = [jax.tree.map(lambda *xs: np.stack(xs), *infos[h])
+                       for h in range(2)]
+            agent_info = jax.tree.map(
+                lambda a, b: jnp.asarray(np.concatenate([a, b], axis=1)),
+                *stacked)
+        samples = Samples(
+            observation=tb("obs"), action=tb("act"),
+            reward=tb("rew", np.float32), done=tb("done"),
+            prev_action=tb("pa"), prev_reward=tb("pr", np.float32),
+            agent_info=agent_info,
+            env_info={"timeout": tb("to")},
+        )
+        carry = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                             self._alt_carry[0], self._alt_carry[1])
+        rollout_state = HostRolloutState(
+            observation=jnp.asarray(np.concatenate(h_obs)),
+            prev_action=jnp.asarray(self._prev_action),
+            prev_reward=jnp.asarray(self._prev_reward),
+            agent_carry=carry,
             cum_steps=jnp.asarray(self._cum_steps, jnp.int32),
         )
         return samples, rollout_state
