@@ -68,12 +68,30 @@ class GymEnv:
 CMD_STEP, CMD_RESET, CMD_CLOSE = 0, 1, 2
 
 
-def _make_env(spec) -> "GymEnv":
-    """spec: a gym id string (picklable → spawn-safe) or a callable."""
+def _make_env(spec):
+    """spec: a gym id string (picklable → spawn-safe) or a callable.
+    Callables may return either a gymnasium env (wrapped in GymEnv) or
+    any object already speaking the host contract (``.spaces`` +
+    reset/step — e.g. envs/atari.py:AtariEnv), used as-is."""
     if isinstance(spec, str):
         return GymEnv(spec)
     env = spec()
-    return env if isinstance(env, GymEnv) else GymEnv(env)
+    return env if hasattr(env, "spaces") else GymEnv(env)
+
+
+def _info_spec(env) -> Dict[str, Tuple[np.dtype, tuple]]:
+    """Static per-step info schema (rlpyt's EnvInfoWrapper made the
+    schema static the same way); ``timeout`` has its own channel."""
+    return dict(getattr(env, "info_spec", {}))
+
+
+def _step5(env, action):
+    """Normalize env.step to (obs, reward, terminated, truncated, info);
+    envs without an info channel return 4-tuples."""
+    out = env.step(action)
+    if len(out) == 4:
+        return out + ({},)
+    return out
 
 
 class _EventMasterSync:
@@ -110,9 +128,14 @@ class _EventWorkerSync:
         self._obs.set()
 
 
-def _worker(env_fns, lo, hi, shm, sync, seed, cpu: Optional[int]):
+def _worker(env_fns, lo, hi, shm, info_shm, sync, seed,
+            cpu: Optional[int]):
     """(rlpyt/samplers/parallel/worker.py:sampling_process ~L10): own a
-    slice [lo, hi) of envs, loop on the step barrier, auto-reset on done."""
+    slice [lo, hi) of envs, loop on the step barrier, auto-reset on
+    traj_done.  Envs exposing ``traj_done`` in info (episodic-lives
+    Atari) are hard-reset only on true game over — life-loss dones
+    leave the emulator mid-game, exactly rlpyt's CpuResetCollector
+    which calls env.reset() only on ``env_info.traj_done`` (~L40)."""
     if cpu is not None:
         try:
             os.sched_setaffinity(0, {cpu})
@@ -121,6 +144,7 @@ def _worker(env_fns, lo, hi, shm, sync, seed, cpu: Optional[int]):
     envs = [_make_env(fn) for fn in env_fns[lo:hi]]
     obs_np, act_np, rew_np, done_np, timeout_np = (
         spec.view() for spec in shm)
+    info_np = {k: spec.view() for k, spec in info_shm.items()}
     while True:
         c = sync.wait()
         if c == CMD_CLOSE:
@@ -135,15 +159,20 @@ def _worker(env_fns, lo, hi, shm, sync, seed, cpu: Optional[int]):
                 rew_np[b] = 0.0
                 done_np[b] = False
                 timeout_np[b] = False
+                for v in info_np.values():
+                    v[b] = 0
             else:
-                obs, rew, terminated, truncated = env.step(act_np[b])
+                obs, rew, terminated, truncated, info = _step5(
+                    env, act_np[b])
                 done = terminated or truncated
-                if done:  # auto-reset (CpuResetCollector semantics)
+                if info.get("traj_done", done):
                     obs = env.reset()
                 obs_np[b] = obs
                 rew_np[b] = rew
                 done_np[b] = done
                 timeout_np[b] = truncated and not terminated
+                for k, v in info_np.items():
+                    v[b] = info.get(k, 0)
         sync.post()
 
 
@@ -181,11 +210,13 @@ class SharedMemVecEnv:
         self.B = len(env_fns)
         probe = _make_env(env_fns[0])
         self.spaces = probe.spaces
-        obs_shape = tuple(probe.observation_space.shape)
-        obs_dtype = np.dtype(str(probe.observation_space.null_value().dtype))
-        act_space = probe.action_space
+        obs_space = self.spaces.observation
+        obs_shape = tuple(obs_space.shape)
+        obs_dtype = np.dtype(str(obs_space.null_value().dtype))
+        act_space = self.spaces.action
         act_shape = tuple(getattr(act_space, "shape", ()) or ())
         act_dtype = np.dtype(str(act_space.null_value().dtype))
+        info_spec = _info_spec(probe)
         probe.close()
 
         W = n_workers or min(self.B, os.cpu_count() or 1)
@@ -206,6 +237,9 @@ class SharedMemVecEnv:
         self.obs, self.act, self.rew, self.done, self.timeout = (
             sp.view() for sp in specs)
         shm = specs
+        info_shm = {k: _ShmSpec((self.B,) + tuple(shape), dtype, ctx)
+                    for k, (dtype, shape) in info_spec.items()}
+        self.info = {k: sp.view() for k, sp in info_shm.items()}
 
         from rlpyt_tpu.envs import hostfarm_c
         use_c = (sync == "c") or (sync == "auto"
@@ -235,7 +269,7 @@ class SharedMemVecEnv:
             p = ctx.Process(
                 target=_worker,
                 args=(list(env_fns), w * per, (w + 1) * per, shm,
-                      worker_syncs[w], seed, cpu),
+                      info_shm, worker_syncs[w], seed, cpu),
                 daemon=True)
             p.start()
             self._procs.append(p)
@@ -284,22 +318,29 @@ class SerialVecEnv:
         self.rew = np.zeros((self.B,), np.float32)
         self.done = np.zeros((self.B,), np.bool_)
         self.timeout = np.zeros((self.B,), np.bool_)
+        self.info = {k: np.zeros((self.B,) + tuple(shape), dtype)
+                     for k, (dtype, shape)
+                     in _info_spec(self.envs[0]).items()}
 
     def reset(self) -> np.ndarray:
         for b, env in enumerate(self.envs):
             self.obs[b] = env.reset(seed=self.seed + b)
+        for v in self.info.values():
+            v[:] = 0
         return self.obs
 
     def step(self, actions: np.ndarray):
         for b, env in enumerate(self.envs):
-            obs, rew, terminated, truncated = env.step(actions[b])
+            obs, rew, terminated, truncated, info = _step5(env, actions[b])
             done = terminated or truncated
-            if done:
+            if info.get("traj_done", done):  # see _worker on traj_done
                 obs = env.reset()
             self.obs[b] = obs
             self.rew[b] = rew
             self.done[b] = done
             self.timeout[b] = truncated and not terminated
+            for k, v in self.info.items():
+                v[b] = info.get(k, 0)
         return self.obs, self.rew, self.done, self.timeout
 
     def close(self):
@@ -326,6 +367,12 @@ class PairedVecEnv:
     @property
     def obs(self) -> np.ndarray:
         return np.concatenate([np.asarray(h.obs) for h in self.halves])
+
+    @property
+    def info(self) -> Dict[str, np.ndarray]:
+        a, b = (getattr(h, "info", {}) for h in self.halves)
+        return {k: np.concatenate([np.asarray(a[k]), np.asarray(b[k])])
+                for k in a}
 
     def reset(self) -> np.ndarray:
         return np.concatenate([np.asarray(h.reset()) for h in self.halves])

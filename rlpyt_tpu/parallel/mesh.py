@@ -107,6 +107,36 @@ def carry_sharding(mesh: Mesh, carry, B: int):
     )
 
 
+def put_global(tree, shardings):
+    """device_put that also works when the mesh spans PROCESSES.
+
+    Within one process this is ``jax.device_put``.  Across processes,
+    ``device_put`` rejects non-addressable shardings — instead each
+    process contributes its addressable shards via
+    ``jax.make_array_from_callback``, relying on startup determinism:
+    every process computed the SAME full host value (same seed → same
+    carry), so slicing the local copy yields consistent global arrays.
+    Typed PRNG-key leaves are unwrapped to their uint32 data and
+    re-wrapped (numpy cannot view key dtypes)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, s: NamedSharding):
+        if (hasattr(x, "dtype")
+                and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)):
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.random.key_data(x))
+            arr = jax.make_array_from_callback(
+                data.shape, NamedSharding(s.mesh, s.spec),
+                lambda idx: data[idx])
+            return jax.random.wrap_key_data(arr, impl=impl)
+        xd = np.asarray(x)
+        return jax.make_array_from_callback(xd.shape, s,
+                                            lambda idx: xd[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
 # ---------------------------------------------------------------------------
 # Multi-host (replaces rlpyt's single-node torch.distributed rendezvous,
 # runners/sync_rl.py ~L100 + utils/synchronize.py:find_port).
@@ -118,7 +148,7 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
     On TPU pods the arguments are discovered from the environment; pass
     them explicitly on other platforms.  Idempotent: safe to call when
-    already initialized or in single-process runs.  Returns this host's
+    already initialized.  Returns this host's
     process index.  After this, ``jax.devices()`` is the GLOBAL device
     list and ``MeshSpec.make()`` builds pod-wide meshes; GSPMD compiles
     gradient/sampling collectives over ICI within a slice and DCN across
@@ -127,8 +157,12 @@ def init_distributed(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process environment
+    except RuntimeError as e:
+        # Only "already initialized" is benign; a bad coordinator
+        # address / process count must propagate, not be masked as a
+        # single-process run.
+        if "already initialized" not in str(e).lower():
+            raise
     return jax.process_index()
 
 

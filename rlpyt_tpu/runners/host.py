@@ -22,8 +22,80 @@ import numpy as np
 
 from rlpyt_tpu.agents.base import StepCtx
 from rlpyt_tpu.envs.host import PairedVecEnv
-from rlpyt_tpu.samplers.rollout import BatchSpec, Samples, TrajStats
+from rlpyt_tpu.samplers.rollout import BatchSpec, Samples
 from rlpyt_tpu.utils.logging import TabularLogger
+
+
+class _TrajAccum:
+    """Host-side per-trajectory accumulators (rlpyt
+    samplers/collections.py:TrajInfo ~L40: Length, Return,
+    NonzeroRewards, DiscountedReturn; + AtariTrajInfo.GameScore),
+    vectorized over env lanes.
+
+    A trajectory completes on ``traj_done`` (true game over), not on
+    ``done``: under episodic lives the life-loss done resets value
+    bootstrapping and rnn state but the TrajInfo keeps accumulating
+    across lives, exactly like rlpyt's collectors which only terminate
+    the TrajInfo when ``env_info.traj_done``."""
+
+    KEYS = ("Return", "Length", "NonzeroRewards", "DiscountedReturn",
+            "GameScore")
+
+    def __init__(self, B: int, discount: float = 1.0):
+        self.discount = float(discount)
+        self.ret = np.zeros((B,), np.float64)
+        self.length = np.zeros((B,), np.int64)
+        self.nonzero = np.zeros((B,), np.int64)
+        self.disc_ret = np.zeros((B,), np.float64)
+        self.cur_disc = np.ones((B,), np.float64)
+        self.score = np.zeros((B,), np.float64)
+        self.window: list = []
+
+    def step(self, sl: slice, rew, done, info: Dict[str, np.ndarray]):
+        """Accumulate one timestep for lanes [sl]; ``rew``/``done`` and
+        the info arrays are already sliced to those lanes."""
+        rew = np.asarray(rew)
+        done = np.asarray(done)
+        self.ret[sl] += rew
+        self.disc_ret[sl] += self.cur_disc[sl] * rew
+        self.cur_disc[sl] *= self.discount
+        self.length[sl] += 1
+        self.nonzero[sl] += rew != 0
+        score = (np.asarray(info["game_score"], np.float64)
+                 if "game_score" in info else rew)
+        self.score[sl] += score
+        traj_done = (np.asarray(info["traj_done"])
+                     if "traj_done" in info else done)
+        base = sl.start or 0
+        for b in np.nonzero(traj_done)[0]:
+            g = base + b
+            self.window.append((self.ret[g], self.length[g],
+                                self.nonzero[g], self.disc_ret[g],
+                                self.score[g]))
+            self.ret[g] = self.length[g] = self.nonzero[g] = 0
+            self.disc_ret[g] = self.score[g] = 0.0
+            self.cur_disc[g] = 1.0
+
+    def pop(self) -> list:
+        w = self.window
+        self.window = []
+        return w
+
+
+def _log_window(rec, prefix: str, window: list, has_score: bool):
+    """Tabular keys matching rlpyt's TrajInfo columns (runners/
+    minibatch_rl.py:log_diagnostics ~L250)."""
+    rec(prefix + "Trajs", len(window))
+    keys = [("ReturnAverage", 0, np.mean), ("ReturnMax", 0, np.max),
+            ("ReturnMin", 0, np.min), ("LengthAverage", 1, np.mean),
+            ("NonzeroRewardsAverage", 2, np.mean),
+            ("DiscountedReturnAverage", 3, np.mean)]
+    if has_score:
+        keys += [("GameScoreAverage", 4, np.mean),
+                 ("GameScoreMax", 4, np.max)]
+    for name, i, fn in keys:
+        rec(prefix + name,
+            float(fn([x[i] for x in window])) if window else float("nan"))
 
 
 class HostRolloutState(NamedTuple):
@@ -97,11 +169,12 @@ class HostMinibatchRl:
         self._eval_step_fn = jax.jit(eval_step_fn)
         self._optimize = jax.jit(self.algo.optimize, donate_argnums=(0, 1))
         self._cum_steps = 0
-        # trajectory accounting (host-side TrajInfo parity)
-        self._ep_ret = np.zeros((B,), np.float64)
-        self._ep_len = np.zeros((B,), np.int64)
-        self._ep_nz = np.zeros((B,), np.int64)
-        self._window = []
+        # trajectory accounting (host-side TrajInfo parity; discount
+        # from the algo like rlpyt's traj_info_kwargs, minibatch_rl.py
+        # startup ~L90)
+        self._traj = _TrajAccum(
+            B, discount=float(getattr(self.algo, "discount", 1.0)))
+        self._has_score = "game_score" in getattr(self.vec, "info", {})
         return train_state, replay_state
 
     # ------------------------------------------------------------------
@@ -114,6 +187,7 @@ class HostMinibatchRl:
         T, B = self.batch_spec
         (obs_l, act_l, rew_l, done_l, to_l, pa_l, pr_l,
          info_l) = ([] for _ in range(8))
+        einfo_l = {k: [] for k in getattr(self.vec, "info", {})}
         obs = self.vec.obs
         for t in range(T):
             self._k_agent, k = jax.random.split(self._k_agent)
@@ -125,6 +199,7 @@ class HostMinibatchRl:
                 jnp.asarray(self._cum_steps + t * B, jnp.int32))
             actions = np.asarray(astep.action)
             obs, rew, done, timeout = self.vec.step(actions)
+            env_info = getattr(self.vec, "info", {})
 
             obs_l.append(obs_t)
             act_l.append(actions)
@@ -134,15 +209,11 @@ class HostMinibatchRl:
             pa_l.append(self._prev_action.copy())
             pr_l.append(self._prev_reward.copy())
             info_l.append(jax.device_get(astep.agent_info))
+            for k_, v in env_info.items():
+                einfo_l[k_].append(np.array(v))
 
             # episode stats + prev for next step (auto-reset zeroing)
-            self._ep_ret += rew
-            self._ep_len += 1
-            self._ep_nz += (rew != 0)
-            for b in np.nonzero(done)[0]:
-                self._window.append((self._ep_ret[b], self._ep_len[b],
-                                     self._ep_nz[b]))
-                self._ep_ret[b] = self._ep_len[b] = self._ep_nz[b] = 0
+            self._traj.step(slice(0, B), rew, done, env_info)
             self._prev_action = np.where(
                 done.reshape((B,) + (1,) * (actions.ndim - 1)),
                 np.zeros_like(actions), actions)
@@ -167,7 +238,9 @@ class HostMinibatchRl:
             prev_action=jnp.asarray(np.stack(pa_l)),
             prev_reward=jnp.asarray(np.stack(pr_l)),
             agent_info=agent_info,
-            env_info={"timeout": jnp.asarray(np.stack(to_l))},
+            env_info={"timeout": jnp.asarray(np.stack(to_l)),
+                      **{k: jnp.asarray(np.stack(v))
+                         for k, v in einfo_l.items()}},
         )
         rollout_state = HostRolloutState(
             observation=jnp.asarray(np.array(self.vec.obs)),
@@ -228,15 +301,8 @@ class HostMinibatchRl:
             rec["rew"].append(rew)
             rec["done"].append(done)
             rec["to"].append(np.array(timeout))
-            self._ep_ret[sl[h]] += rew
-            self._ep_len[sl[h]] += 1
-            self._ep_nz[sl[h]] += (rew != 0)
-            base = sl[h].start or 0
-            for b in np.nonzero(done)[0]:
-                g = base + b
-                self._window.append((self._ep_ret[g], self._ep_len[g],
-                                     self._ep_nz[g]))
-                self._ep_ret[g] = self._ep_len[g] = self._ep_nz[g] = 0
+            self._traj.step(sl[h], rew, done,
+                            getattr(halves[h], "info", {}))
             self._prev_action[sl[h]] = np.where(
                 done.reshape(done.shape + (1,) * (actions.ndim - 1)),
                 np.zeros_like(actions), actions)
@@ -304,10 +370,7 @@ class HostMinibatchRl:
             act_null, (B,) + act_null.shape).copy()
         prev_reward = np.zeros((B,), np.float32)
         carry = self.agent.init_carry(B)
-        ep_ret = np.zeros((B,), np.float64)
-        ep_len = np.zeros((B,), np.int64)
-        ep_nz = np.zeros((B,), np.int64)
-        completed = []
+        accum = _TrajAccum(B, discount=self._traj.discount)
         max_T = max(1, self.eval_max_steps // B)
         for _ in range(max_T):
             self._k_agent, k = jax.random.split(self._k_agent)
@@ -317,12 +380,8 @@ class HostMinibatchRl:
                 jnp.asarray(self._cum_steps, jnp.int32))
             actions = np.asarray(astep.action)
             obs, rew, done, _ = vec.step(actions)
-            ep_ret += rew
-            ep_len += 1
-            ep_nz += (rew != 0)
-            for b in np.nonzero(done)[0]:
-                completed.append((ep_ret[b], ep_len[b], ep_nz[b]))
-                ep_ret[b] = ep_len[b] = ep_nz[b] = 0
+            accum.step(slice(0, B), rew, done, getattr(vec, "info", {}))
+            completed = accum.window
             prev_action = np.where(
                 done.reshape((B,) + (1,) * (actions.ndim - 1)),
                 np.zeros_like(actions), actions)
@@ -333,25 +392,11 @@ class HostMinibatchRl:
             if (self.eval_max_trajectories is not None
                     and len(completed) >= self.eval_max_trajectories):
                 break
-        return completed
+        return accum.pop()
 
     def _log_eval(self, completed):
-        rec = self.logger.record_tabular
-        rec("EvalTrajs", len(completed))
-        if completed:
-            rets = [x[0] for x in completed]
-            rec("EvalReturnAverage", float(np.mean(rets)))
-            rec("EvalReturnMax", float(np.max(rets)))
-            rec("EvalReturnMin", float(np.min(rets)))
-            rec("EvalLengthAverage",
-                float(np.mean([x[1] for x in completed])))
-            rec("EvalNonzeroRewardsAverage",
-                float(np.mean([x[2] for x in completed])))
-        else:
-            for k in ("EvalReturnAverage", "EvalReturnMax",
-                      "EvalReturnMin", "EvalLengthAverage",
-                      "EvalNonzeroRewardsAverage"):
-                rec(k, float("nan"))
+        _log_window(self.logger.record_tabular, "Eval", completed,
+                    self._has_score)
 
     # ------------------------------------------------------------------
 
@@ -385,19 +430,7 @@ class HostMinibatchRl:
         rec("CumTime (s)", total)
         rec("StepsPerSecond",
             self.itrs_per_interval * self.batch_spec.size / dt)
-        w = self._window
-        rec("Trajs", len(w))
-        if w:
-            rets = [x[0] for x in w]
-            rec("ReturnAverage", float(np.mean(rets)))
-            rec("ReturnMax", float(np.max(rets)))
-            rec("ReturnMin", float(np.min(rets)))
-            rec("LengthAverage", float(np.mean([x[1] for x in w])))
-        else:
-            for k in ("ReturnAverage", "ReturnMax", "ReturnMin",
-                      "LengthAverage"):
-                rec(k, float("nan"))
-        self._window = []
+        _log_window(rec, "", self._traj.pop(), self._has_score)
         for field, val in zip(opt_info._fields, opt_info):
             rec(field, float(np.mean(np.asarray(val))))
         if eval_eps is not None:

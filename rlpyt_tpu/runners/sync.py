@@ -21,7 +21,8 @@ from typing import Optional, Union
 
 import jax
 
-from rlpyt_tpu.parallel.mesh import MeshSpec, carry_sharding, shard_params
+from rlpyt_tpu.parallel.mesh import (MeshSpec, carry_sharding, put_global,
+                                     shard_params)
 from rlpyt_tpu.runners.train import MinibatchRl, TrainCarry
 
 
@@ -49,7 +50,7 @@ class SyncRl(MinibatchRl):
                     carry.train_state.target_params, self.mesh)
             shardings = shardings._replace(
                 train_state=shardings.train_state._replace(**updates))
-        carry = jax.device_put(carry, shardings)
+        carry = put_global(carry, shardings)
         self._run_interval = jax.jit(
             self._interval_fn, donate_argnums=0,
             in_shardings=(shardings,),

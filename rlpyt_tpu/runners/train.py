@@ -82,8 +82,10 @@ class MinibatchRl:
         k_agent, k_algo, k_env = jax.random.split(key, 3)
 
         self.agent.initialize(self.env.spaces)
+        traj_discount = float(getattr(self.algo, "discount", 1.0))
         self.collector = Collector(self.env, self.agent, self.batch_spec,
-                                   self.env_params)
+                                   self.env_params,
+                                   discount=traj_discount)
         rollout_state = self.collector.init_state(k_env)
         example_obs = rollout_state.observation
         self.n_itr = max(1, math.ceil(self.n_steps / self.batch_spec.size))
@@ -125,13 +127,19 @@ class MinibatchRl:
             eval_T = max(1, self.eval_max_steps // self.eval_n_envs)
             self.eval_collector = Collector(
                 self.eval_env, self.agent,
-                BatchSpec(eval_T, self.eval_n_envs))
+                BatchSpec(eval_T, self.eval_n_envs),
+                discount=traj_discount)
 
             def run_eval(params, key):
+                if self.eval_max_trajectories is not None:
+                    # while_loop eval: stepping STOPS at the traj cap
+                    # (rlpyt SerialEvalCollector discipline) instead of
+                    # burning device compute to the step cap.
+                    return self.eval_collector.evaluate(
+                        params, key, eval_T, self.eval_max_trajectories)
                 state = self.eval_collector.init_state(key)
                 state, _ = self.eval_collector.collect(
-                    params, state, is_eval=True,
-                    max_trajectories=self.eval_max_trajectories)
+                    params, state, is_eval=True)
                 return state.traj_stats
 
             self._run_eval = jax.jit(run_eval)
@@ -198,9 +206,12 @@ class MinibatchRl:
             rec(prefix + "LengthAverage", float(ts.sum_length) / n)
             rec(prefix + "NonzeroRewardsAverage",
                 float(ts.sum_nonzero_rewards) / n)
+            rec(prefix + "DiscountedReturnAverage",
+                float(ts.sum_discounted_return) / n)
         else:
             for k in ("ReturnAverage", "ReturnMax", "ReturnMin",
-                      "LengthAverage", "NonzeroRewardsAverage"):
+                      "LengthAverage", "NonzeroRewardsAverage",
+                      "DiscountedReturnAverage"):
                 rec(prefix + k, float("nan"))
 
     def _log_diagnostics(self, itr, cum_steps, opt_infos, traj_stats,

@@ -61,6 +61,7 @@ class TrajStats(NamedTuple):
     sum_return: jax.Array
     sum_length: jax.Array
     sum_nonzero_rewards: jax.Array
+    sum_discounted_return: jax.Array  # rlpyt TrajInfo.DiscountedReturn
     max_return: jax.Array
     min_return: jax.Array
 
@@ -71,6 +72,7 @@ class TrajStats(NamedTuple):
             sum_return=jnp.zeros((), jnp.float32),
             sum_length=jnp.zeros((), jnp.float32),
             sum_nonzero_rewards=jnp.zeros((), jnp.float32),
+            sum_discounted_return=jnp.zeros((), jnp.float32),
             max_return=jnp.full((), -jnp.inf, jnp.float32),
             min_return=jnp.full((), jnp.inf, jnp.float32),
         )
@@ -90,6 +92,8 @@ class RolloutState(NamedTuple):
     ep_return: jax.Array     # [B] running returns
     ep_length: jax.Array     # [B]
     ep_nonzero: jax.Array    # [B] count of nonzero rewards this episode
+    ep_discounted: jax.Array  # [B] running discounted return
+    ep_gamma: jax.Array      # [B] discount^t within episode
     needs_reset: jax.Array   # [B] done-and-waiting (WaitResetCollector)
     traj_stats: TrajStats
 
@@ -102,12 +106,16 @@ class Collector:
     """
 
     def __init__(self, env: Env, agent: BaseAgent, batch_spec: BatchSpec,
-                 env_params=None, mid_batch_reset: bool = True):
+                 env_params=None, mid_batch_reset: bool = True,
+                 discount: float = 1.0):
         self.env = env
         self.agent = agent
         self.batch_spec = batch_spec
         self.env_params = env_params
         self.mid_batch_reset = mid_batch_reset
+        # TrajInfo discount for the DiscountedReturn stat (rlpyt's
+        # traj_info_kwargs discount, default 1 like TrajInfo._discount).
+        self.discount = float(discount)
 
     # ------------------------------------------------------------------
 
@@ -129,6 +137,8 @@ class Collector:
             ep_return=jnp.zeros((B,), jnp.float32),
             ep_length=jnp.zeros((B,), jnp.float32),
             ep_nonzero=jnp.zeros((B,), jnp.float32),
+            ep_discounted=jnp.zeros((B,), jnp.float32),
+            ep_gamma=jnp.ones((B,), jnp.float32),
             needs_reset=jnp.zeros((B,), jnp.bool_),
             traj_stats=TrajStats.zeros(),
         )
@@ -189,104 +199,125 @@ class Collector:
         T, B = self.batch_spec
 
         def step_fn(carry: RolloutState, _):
-            key, k_agent, k_env, k_reset = jax.random.split(carry.key, 4)
-            ctx = StepCtx(cum_steps=carry.cum_steps, is_eval=is_eval)
-            agent_step, agent_carry = self.agent.step(
-                params, k_agent, carry.observation, carry.prev_action,
-                carry.prev_reward, carry.agent_carry, ctx)
-            action = agent_step.action
-            env_state, env_step = self.env.step_batch(
-                k_env, carry.env_state, action, self.env_params)
-            reward = env_step.reward.astype(jnp.float32)
-            done = env_step.done
-            waiting = carry.needs_reset
-            if not self.mid_batch_reset:
-                # Frozen envs: no state advance, zero reward, done stays.
-                env_state = tree_select(waiting, carry.env_state, env_state)
-                reward = jnp.where(waiting, 0.0, reward)
-                done = done | waiting
-            fresh_done = done & ~waiting  # episodes finishing this step
-
-            out = Samples(
-                observation=carry.observation,
-                action=action,
-                reward=reward,
-                done=done,
-                prev_action=carry.prev_action,
-                prev_reward=carry.prev_reward,
-                agent_info=agent_step.agent_info,
-                env_info=env_step.info,
-            )
-
-            # --- trajectory accounting -------------------------------
-            live = (~waiting).astype(jnp.float32)
-            ep_return = carry.ep_return + reward * live
-            ep_length = carry.ep_length + live
-            ep_nonzero = carry.ep_nonzero + (reward != 0.0) * live
-            d = fresh_done
-            ts = carry.traj_stats
-            if max_trajectories is not None:
-                d = d & (ts.completed < max_trajectories)
-            df = d.astype(jnp.float32)
-            traj_stats = TrajStats(
-                completed=ts.completed + jnp.sum(d.astype(jnp.int32)),
-                sum_return=ts.sum_return + jnp.sum(ep_return * df),
-                sum_length=ts.sum_length + jnp.sum(ep_length * df),
-                sum_nonzero_rewards=(
-                    ts.sum_nonzero_rewards + jnp.sum(ep_nonzero * df)),
-                max_return=jnp.maximum(
-                    ts.max_return,
-                    jnp.max(jnp.where(d, ep_return, -jnp.inf))),
-                min_return=jnp.minimum(
-                    ts.min_return,
-                    jnp.min(jnp.where(d, ep_return, jnp.inf))),
-            )
-            finished = fresh_done.astype(jnp.float32)
-            ep_return = ep_return * (1.0 - finished)
-            ep_length = ep_length * (1.0 - finished)
-            ep_nonzero = ep_nonzero * (1.0 - finished)
-
-            if self.mid_batch_reset:
-                # --- auto-reset (CpuResetCollector parity) -----------
-                reset_state, reset_obs = self.env.reset_batch(
-                    k_reset, B, self.env_params)
-                env_state = tree_select(done, reset_state, env_state)
-                observation = tree_select(done, reset_obs,
-                                          env_step.observation)
-                prev_action = tree_select(done, jnp.zeros_like(action),
-                                          action)
-                prev_reward = jnp.where(done, 0.0, reward)
-                agent_carry = self.agent.reset_carry_where(done, agent_carry)
-                needs_reset = carry.needs_reset
-            else:
-                # --- wait-reset: freeze until batch end --------------
-                observation = tree_select(done, carry.observation,
-                                          env_step.observation)
-                prev_action = tree_select(done, jnp.zeros_like(action),
-                                          action)
-                prev_reward = jnp.where(done, 0.0, reward)
-                needs_reset = done
-
-            new_carry = RolloutState(
-                key=key,
-                env_state=env_state,
-                observation=observation,
-                prev_action=prev_action,
-                prev_reward=prev_reward,
-                agent_carry=agent_carry,
-                cum_steps=carry.cum_steps + B,
-                ep_return=ep_return,
-                ep_length=ep_length,
-                ep_nonzero=ep_nonzero,
-                needs_reset=needs_reset,
-                traj_stats=traj_stats,
-            )
-            return new_carry, out
+            return self._step(params, carry, is_eval, max_trajectories)
 
         state, samples = jax.lax.scan(step_fn, state, None, length=T)
         if not self.mid_batch_reset:
             state = self._reset_waiting(state)
         return state, samples
+
+    def _step(self, params, carry: RolloutState, is_eval: bool,
+              max_trajectories: Optional[int]
+              ) -> Tuple[RolloutState, Samples]:
+        """One timestep of the (agent.step ∘ env.step) composition —
+        the body shared by collect()'s scan and evaluate()'s
+        while_loop."""
+        B = self.batch_spec.B
+        key, k_agent, k_env, k_reset = jax.random.split(carry.key, 4)
+        ctx = StepCtx(cum_steps=carry.cum_steps, is_eval=is_eval)
+        agent_step, agent_carry = self.agent.step(
+            params, k_agent, carry.observation, carry.prev_action,
+            carry.prev_reward, carry.agent_carry, ctx)
+        action = agent_step.action
+        env_state, env_step = self.env.step_batch(
+            k_env, carry.env_state, action, self.env_params)
+        reward = env_step.reward.astype(jnp.float32)
+        done = env_step.done
+        waiting = carry.needs_reset
+        if not self.mid_batch_reset:
+            # Frozen envs: no state advance, zero reward, done stays.
+            env_state = tree_select(waiting, carry.env_state, env_state)
+            reward = jnp.where(waiting, 0.0, reward)
+            done = done | waiting
+        fresh_done = done & ~waiting  # episodes finishing this step
+
+        out = Samples(
+            observation=carry.observation,
+            action=action,
+            reward=reward,
+            done=done,
+            prev_action=carry.prev_action,
+            prev_reward=carry.prev_reward,
+            agent_info=agent_step.agent_info,
+            env_info=env_step.info,
+        )
+
+        # --- trajectory accounting -------------------------------
+        live = (~waiting).astype(jnp.float32)
+        ep_return = carry.ep_return + reward * live
+        ep_length = carry.ep_length + live
+        ep_nonzero = carry.ep_nonzero + (reward != 0.0) * live
+        ep_discounted = (carry.ep_discounted
+                         + reward * carry.ep_gamma * live)
+        ep_gamma = jnp.where(waiting, carry.ep_gamma,
+                             carry.ep_gamma * self.discount)
+        d = fresh_done
+        ts = carry.traj_stats
+        if max_trajectories is not None:
+            d = d & (ts.completed < max_trajectories)
+        df = d.astype(jnp.float32)
+        traj_stats = TrajStats(
+            completed=ts.completed + jnp.sum(d.astype(jnp.int32)),
+            sum_return=ts.sum_return + jnp.sum(ep_return * df),
+            sum_length=ts.sum_length + jnp.sum(ep_length * df),
+            sum_nonzero_rewards=(
+                ts.sum_nonzero_rewards + jnp.sum(ep_nonzero * df)),
+            sum_discounted_return=(
+                ts.sum_discounted_return
+                + jnp.sum(ep_discounted * df)),
+            max_return=jnp.maximum(
+                ts.max_return,
+                jnp.max(jnp.where(d, ep_return, -jnp.inf))),
+            min_return=jnp.minimum(
+                ts.min_return,
+                jnp.min(jnp.where(d, ep_return, jnp.inf))),
+        )
+        finished = fresh_done.astype(jnp.float32)
+        ep_return = ep_return * (1.0 - finished)
+        ep_length = ep_length * (1.0 - finished)
+        ep_nonzero = ep_nonzero * (1.0 - finished)
+        ep_discounted = ep_discounted * (1.0 - finished)
+        ep_gamma = jnp.where(fresh_done, 1.0, ep_gamma)
+
+        if self.mid_batch_reset:
+            # --- auto-reset (CpuResetCollector parity) -----------
+            reset_state, reset_obs = self.env.reset_batch(
+                k_reset, B, self.env_params)
+            env_state = tree_select(done, reset_state, env_state)
+            observation = tree_select(done, reset_obs,
+                                      env_step.observation)
+            prev_action = tree_select(done, jnp.zeros_like(action),
+                                      action)
+            prev_reward = jnp.where(done, 0.0, reward)
+            agent_carry = self.agent.reset_carry_where(done, agent_carry)
+            needs_reset = carry.needs_reset
+        else:
+            # --- wait-reset: freeze until batch end --------------
+            observation = tree_select(done, carry.observation,
+                                      env_step.observation)
+            prev_action = tree_select(done, jnp.zeros_like(action),
+                                      action)
+            prev_reward = jnp.where(done, 0.0, reward)
+            needs_reset = done
+
+        new_carry = RolloutState(
+            key=key,
+            env_state=env_state,
+            observation=observation,
+            prev_action=prev_action,
+            prev_reward=prev_reward,
+            agent_carry=agent_carry,
+            cum_steps=carry.cum_steps + B,
+            ep_return=ep_return,
+            ep_length=ep_length,
+            ep_nonzero=ep_nonzero,
+            ep_discounted=ep_discounted,
+            ep_gamma=ep_gamma,
+            needs_reset=needs_reset,
+            traj_stats=traj_stats,
+        )
+        return new_carry, out
+
 
     def _reset_waiting(self, state: RolloutState) -> RolloutState:
         """Batch-end reset of done-and-waiting envs
@@ -311,13 +342,37 @@ class Collector:
         """Clear the completed-trajectory window (called at log intervals)."""
         return state._replace(traj_stats=TrajStats.zeros())
 
+    def evaluate(self, params, key: jax.Array, max_T: int,
+                 max_trajectories: Optional[int] = None) -> TrajStats:
+        """Offline evaluation with rlpyt's eval-collector discipline
+        (rlpyt/samplers/serial/collectors.py:SerialEvalCollector ~L10-90):
+        fresh envs, eval-mode agent, stats only over COMPLETED
+        trajectories (running episodes at the cap are discarded), and —
+        unlike a fixed-length scan — stepping STOPS as soon as
+        ``max_trajectories`` is reached (lax.while_loop, so no wasted
+        device compute past the cap; rlpyt's serve loop breaks the same
+        way on its traj counter)."""
+        state = self.init_state(key)
+
+        def cond(c):
+            t, st = c
+            go = t < max_T
+            if max_trajectories is not None:
+                go = go & (st.traj_stats.completed < max_trajectories)
+            return go
+
+        def body(c):
+            t, st = c
+            st, _ = self._step(params, st, True, max_trajectories)
+            return t + 1, st
+
+        _, state = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), state))
+        return state.traj_stats
+
 
 def evaluate(collector: Collector, params, key: jax.Array,
-             max_T: int) -> TrajStats:
-    """Offline evaluation (rlpyt sampler.evaluate_agent → eval collectors):
-    fresh envs, eval-mode agent, run max_T steps, report completed-traj
-    stats.  ``eval_max_trajectories`` capping is applied host-side by the
-    runner from the returned counts."""
-    state = collector.init_state(key)
-    state, _ = collector.collect(params, state, is_eval=True)
-    return state.traj_stats
+             max_T: int, max_trajectories: Optional[int] = None
+             ) -> TrajStats:
+    """Module-level convenience wrapper over Collector.evaluate."""
+    return collector.evaluate(params, key, max_T, max_trajectories)

@@ -93,6 +93,77 @@ def test_wait_reset_freezes_done_envs():
                                   [0, 0])
 
 
+def test_evaluate_while_loop_stops_early():
+    """Collector.evaluate (rlpyt SerialEvalCollector discipline): the
+    while_loop stops STEPPING at the trajectory cap — completed count
+    is near the cap, not the 40 the step budget would allow — and only
+    completed trajectories contribute to the stats."""
+    env = CountEnv(3)
+    agent = NoopAgent()
+    agent.initialize(env.spaces)
+    col = Collector(env, agent, BatchSpec(30, 4))
+    stats = jax.jit(col.evaluate, static_argnums=(2, 3))(
+        None, jax.random.key(0), 30, 5)
+    completed = int(stats.completed)
+    assert 5 <= completed <= 8
+    assert abs(float(stats.sum_length) / completed - 3.0) < 1e-5
+    # discounted-return stat: with discount=1 it equals plain return
+    assert abs(float(stats.sum_discounted_return)
+               - float(stats.sum_return)) < 1e-5
+
+
+def test_discounted_return_stat():
+    """DiscountedReturn TrajInfo parity (rlpyt samplers/collections.py
+    ~L60): reward 1 per step, 3-step episodes, discount 0.9 →
+    1 + .9 + .81 = 2.71 per trajectory."""
+    env = CountEnv(3)
+    agent = NoopAgent()
+    agent.initialize(env.spaces)
+    col = Collector(env, agent, BatchSpec(9, 2), discount=0.9)
+    state = col.init_state(jax.random.key(0))
+    state, _ = jax.jit(col.collect)(None, state)
+    ts = state.traj_stats
+    n = int(ts.completed)
+    assert n == 6  # 3 per env
+    assert abs(float(ts.sum_discounted_return) / n - 2.71) < 1e-5
+
+
+def test_device_eval_path(tmp_path):
+    """MinibatchRl offline eval (rlpyt MinibatchRlEval): Eval* columns
+    land in progress.csv with finite values when eval_max_trajectories
+    is set (the while_loop eval collector path)."""
+    import csv
+
+    from rlpyt_tpu.agents.dqn import DqnAgent
+    from rlpyt_tpu.algos.dqn import DQN
+    from rlpyt_tpu.envs.classic import CartPole
+    from rlpyt_tpu.models.dqn import DqnMlpModel
+    from rlpyt_tpu.runners.train import MinibatchRl
+    from rlpyt_tpu.utils.logging import TabularLogger
+
+    agent = DqnAgent(ModelCls=DqnMlpModel,
+                     model_kwargs=dict(hidden_sizes=(32,)),
+                     eps_steps=1_000, eps_final=0.1)
+    algo = DQN(batch_size=32, min_steps_learn=64, replay_size=2_048,
+               replay_ratio=1.0, target_update_interval=50,
+               learning_rate=1e-3)
+    runner = MinibatchRl(
+        algo=algo, agent=agent, env=CartPole(),
+        batch_spec=BatchSpec(T=16, B=8), n_steps=512, seed=0,
+        log_interval_steps=256, max_decorrelation_steps=0,
+        eval_env=CartPole(), eval_n_envs=4, eval_max_steps=2_000,
+        eval_max_trajectories=6,
+        logger=TabularLogger(str(tmp_path)))
+    runner.train()
+    with open(tmp_path / "progress.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert rows
+    last = rows[-1]
+    assert float(last["EvalTrajs"]) >= 6
+    assert np.isfinite(float(last["EvalReturnAverage"]))
+    assert np.isfinite(float(last["EvalDiscountedReturnAverage"]))
+
+
 def test_eval_max_trajectories_cap():
     env = CountEnv(3)
     agent = NoopAgent()
