@@ -1,0 +1,112 @@
+"""Curve-artifact sweep (VERDICT round-1 item #3; SURVEY §4/§6 validation
+methodology: learning curves at fixed step budgets, logged to
+progress.csv for comparison against rlpyt's published curves).
+
+Runs sequentially on one chip:
+- ernbw (Rainbow-combo: Double+Dueling+PER+n-step+C51) on 5 MinAtar games
+  at the config's full 2M-step budget.
+- R2D1 on 2 MinAtar games at 1M steps (shortened; documented).
+- PPO and A2C on MinAtar Breakout at 5M steps.
+- SAC and TD3 on HalfCheetah-v5 / Walker2d-v5 through the host farm at
+  400k steps (shortened from rlpyt's 1M; enough to place the curve).
+
+Each run writes curves/<name>/run_<seed>/progress.csv via logger_context.
+Usage: python curves/run_curves.py [--only PREFIX] [--seed N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+CURVES = os.path.join(ROOT, "curves")
+
+MINATAR_GAMES = ["breakout", "space_invaders", "asterix", "freeway",
+                 "seaquest"]
+
+
+def run_minatar_dqn(config_key, game, n_steps=None, seed=0):
+    from rlpyt_tpu.experiments.scripts.minatar_dqn import build_and_train
+    overrides = {"env": {"game": game}, "eval_env": {"game": game}}
+    if n_steps is not None:
+        overrides["runner"] = {"n_steps": n_steps}
+    build_and_train(config_key, log_dir=os.path.join(
+        CURVES, f"minatar_{game}_{config_key}"), run_id=seed, seed=seed,
+        config_overrides=overrides)
+
+
+def run_minatar_pg(config_key, game, n_steps=None, seed=0):
+    from rlpyt_tpu.experiments.scripts.minatar_pg import build_and_train
+    overrides = {"env": {"game": game}, "eval_env": {"game": game}}
+    if n_steps is not None:
+        overrides["runner"] = {"n_steps": n_steps}
+    build_and_train(config_key, log_dir=os.path.join(
+        CURVES, f"minatar_{game}_{config_key}"), run_id=seed, seed=seed,
+        config_overrides=overrides)
+
+
+def run_mujoco_qpg(config_key, env_id, n_steps=400_000, seed=0):
+    from rlpyt_tpu.experiments.scripts.mujoco_qpg import build_and_train
+    overrides = {
+        "env": {"id": env_id}, "eval_env": {"id": env_id},
+        "runner": {"n_steps": n_steps, "log_interval_steps": 20_000},
+        "sampler": {"n_workers": 2, "eval_n_envs": 0},
+    }
+    build_and_train(config_key, log_dir=os.path.join(
+        CURVES, f"mujoco_{env_id}_{config_key}"), run_id=seed, seed=seed,
+        config_overrides=overrides)
+
+
+def sweep(seed=0):
+    jobs = []
+    for game in MINATAR_GAMES:
+        jobs.append((f"minatar_{game}_ernbw",
+                     lambda g=game: run_minatar_dqn("ernbw", g, seed=seed)))
+    for game in ["breakout", "space_invaders"]:
+        jobs.append((f"minatar_{game}_r2d1",
+                     lambda g=game: run_minatar_dqn(
+                         "r2d1", g, n_steps=1_000_000, seed=seed)))
+    for key in ["ppo", "a2c"]:
+        jobs.append((f"minatar_breakout_{key}",
+                     lambda k=key: run_minatar_pg(k, "breakout",
+                                                  seed=seed)))
+    for env_id in ["HalfCheetah-v5", "Walker2d-v5"]:
+        for key in ["sac", "td3"]:
+            jobs.append((f"mujoco_{env_id}_{key}",
+                         lambda k=key, e=env_id: run_mujoco_qpg(
+                             k, e, seed=seed)))
+    return jobs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="substring filter on job names")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    results = {}
+    for name, fn in sweep(args.seed):
+        if args.only and args.only not in name:
+            continue
+        t0 = time.time()
+        print(f"=== {name} ===", flush=True)
+        try:
+            fn()
+            results[name] = {"ok": True, "seconds": time.time() - t0}
+        except Exception as e:
+            traceback.print_exc()
+            results[name] = {"ok": False, "error": repr(e),
+                             "seconds": time.time() - t0}
+        print(f"=== {name} done in {time.time()-t0:.0f}s ===", flush=True)
+        with open(os.path.join(CURVES, "sweep_status.json"), "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

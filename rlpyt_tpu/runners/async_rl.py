@@ -40,10 +40,17 @@ class AsyncRl(MinibatchRl):
     """Pipelined runner with explicit replay-ratio throttle."""
 
     def __init__(self, *args, updates_per_interval: Optional[int] = None,
-                 pipeline_depth: int = 2, **kwargs):
+                 pipeline_depth: int = 2,
+                 checkpoint_every: Optional[int] = None, **kwargs):
         super().__init__(*args, **kwargs)
         self.updates_per_interval = updates_per_interval
         self.pipeline_depth = max(1, pipeline_depth)
+        # Checkpointing must block on the newest carry, draining the
+        # pipeline — so it runs every ``checkpoint_every`` intervals
+        # (default: 4x pipeline depth, amortizing the stall) plus once
+        # at the end, not per interval.
+        self.checkpoint_every = (checkpoint_every if checkpoint_every
+                                 is not None else 4 * self.pipeline_depth)
 
     def startup(self) -> TrainCarry:
         carry = super().startup()
@@ -74,29 +81,39 @@ class AsyncRl(MinibatchRl):
             f"{self.pipeline_depth}")
         t_start = time.time()
 
-        in_flight: deque = deque()  # (interval, opt_infos, traj_stats)
+        # (interval, opt_infos, traj_stats, eval_stats, t0); eval is
+        # DISPATCHED at enqueue time against that interval's own params
+        # (single device stream: it executes before the next interval
+        # program can donate/overwrite them), so the logged Eval* keys
+        # belong to the interval they are reported with — fetched lazily
+        # at drain so the pipeline stays full.
+        in_flight: deque = deque()
         for interval in range(start_interval, n_intervals):
             t0 = time.time()
             carry, opt_infos, traj_stats = self._run_interval(carry)
-            in_flight.append((interval, opt_infos, traj_stats, t0))
+            eval_stats = None
+            if self.eval_env is not None:
+                k_eval = jax.random.fold_in(
+                    jax.random.key(self.seed + 1), interval)
+                eval_stats = self._run_eval(carry.train_state.params,
+                                            k_eval)
+            in_flight.append((interval, opt_infos, traj_stats,
+                              eval_stats, t0))
             # Drain completed intervals without stalling the device queue.
             while (len(in_flight) > self.pipeline_depth - 1
                    or interval == n_intervals - 1) and in_flight:
-                itv, infos, stats, ti = in_flight.popleft()
+                itv, infos, stats, estats, ti = in_flight.popleft()
                 jax.block_until_ready(infos.loss)
                 t1 = time.time()
                 cum = (itv + 1) * steps_per_interval
                 itr = (itv + 1) * self.itrs_per_interval
                 self._log_diagnostics(itr, cum, infos, stats,
                                       t1 - ti, t1 - t_start)
-                if self.eval_env is not None:
-                    k_eval = jax.random.fold_in(
-                        jax.random.key(self.seed + 1), itv)
-                    eval_stats = self._run_eval(carry.train_state.params,
-                                                k_eval)
-                    self._log_traj_stats("Eval", eval_stats)
+                if estats is not None:
+                    self._log_traj_stats("Eval", estats)
                     self.logger.dump_tabular()
-            if self.checkpoint_dir is not None:
+            if (self.checkpoint_dir is not None and self.checkpoint_every
+                    and (interval + 1) % self.checkpoint_every == 0):
                 from rlpyt_tpu.utils.checkpoint import save_checkpoint
                 jax.block_until_ready(carry.train_state.params)
                 save_checkpoint(
@@ -104,6 +121,12 @@ class AsyncRl(MinibatchRl):
                     {"interval": interval + 1,
                      "cum_steps": (interval + 1) * steps_per_interval})
         jax.block_until_ready(carry.train_state.params)
+        if self.checkpoint_dir is not None:
+            from rlpyt_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(
+                f"{self.checkpoint_dir}/checkpoint.pkl", carry,
+                {"interval": n_intervals,
+                 "cum_steps": n_intervals * steps_per_interval})
         return carry
 
 

@@ -436,3 +436,134 @@ class HostMinibatchRl:
         if eval_eps is not None:
             self._log_eval(eval_eps)
         self.logger.dump_tabular()
+
+
+class AsyncHostRl(HostMinibatchRl):
+    """Asynchronous actor/learner on the host-env path (reference:
+    rlpyt/runners/async_rl.py:AsyncRl ~L20-400 + samplers/async_/
+    cpu_sampler.py:AsyncCpuSampler).
+
+    The reference decouples env stepping from optimization with separate
+    OS processes (sampler workers collect with a shared-memory CPU model
+    copy while optimizer processes train on GPU), bounded in both
+    directions by a replay-ratio throttle.  Here the same topology is a
+    **learner thread + actor main thread** sharing one process:
+
+    - The **learner thread** pulls collected batches from a depth-1
+      queue and runs ``algo.optimize`` on the default (TPU) device; the
+      queue gives rlpyt's two-way throttle (actor blocks when the
+      learner lags; learner waits when the actor lags).
+    - The **actor** (main thread) steps envs and runs inference on a
+      separate device (default: a host-CPU device) so its per-step
+      dispatches never queue behind the in-flight optimize program.
+      After each optimize the learner publishes a params copy onto the
+      actor device; the actor picks up the newest at batch start —
+      staleness is bounded by the queue depth (≤2 batches), rlpyt's
+      stale-shared-model semantics made explicit.
+
+    ``updates_per_optimize`` overrides the algo's replay-ratio
+    arithmetic the way the reference's ``updates_per_sync`` bound does.
+    """
+
+    def __init__(self, *args, actor_device=None,
+                 updates_per_optimize: Optional[int] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._actor_device_arg = actor_device
+        self._updates_override = updates_per_optimize
+
+    def _pick_actor_device(self):
+        if self._actor_device_arg is not None:
+            return self._actor_device_arg
+        default = jax.devices()[0]
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = []
+        if default.platform != "cpu" and cpus:
+            return cpus[0]
+        if len(cpus) > 1:
+            return cpus[-1]  # virtual-mesh testing: separate CPU stream
+        return default
+
+    def startup(self):
+        if self._updates_override is not None:
+            self.algo.updates_per_optimize = int(self._updates_override)
+        train_state, replay_state = super().startup()
+        self._learner_device = jax.devices()[0]
+        self._actor_device = self._pick_actor_device()
+        self._actor_params = jax.device_put(train_state.params,
+                                            self._actor_device)
+        self._carry = jax.device_put(self._carry, self._actor_device)
+        if isinstance(self.vec, PairedVecEnv):
+            self._alt_carry = [jax.device_put(c, self._actor_device)
+                               for c in self._alt_carry]
+        return train_state, replay_state
+
+    def train(self):
+        import queue
+        import threading
+
+        train_state, replay_state = self.startup()
+        batch_q: queue.Queue = queue.Queue(maxsize=1)
+        result = {}
+        err: list = []
+        published = {"params": self._actor_params, "opt_info": None,
+                     "done_itrs": 0}
+        lock = threading.Lock()
+
+        def learner():
+            ts, rs = train_state, replay_state
+            try:
+                for itr in range(self.n_itr):
+                    samples, rollout_state, k = batch_q.get()
+                    rollout_state = jax.device_put(rollout_state,
+                                                   self._learner_device)
+                    ts, rs, opt_info = self._optimize(
+                        ts, rs, samples, k, rollout_state)
+                    actor_params = jax.device_put(ts.params,
+                                                  self._actor_device)
+                    # Block here (learner thread), not on the actor:
+                    # publishing only ready params keeps actor dispatch
+                    # free of in-flight learner dependencies.
+                    jax.block_until_ready(actor_params)
+                    with lock:
+                        published["params"] = actor_params
+                        published["opt_info"] = opt_info
+                        published["done_itrs"] = itr + 1
+                result["train_state"] = ts
+                result["replay_state"] = rs
+            except BaseException as e:  # surface in the main thread
+                err.append(e)
+
+        thread = threading.Thread(target=learner, daemon=True)
+        thread.start()
+
+        t_start = time.time()
+        interval_itrs = 0
+        t0 = time.time()
+        for itr in range(self.n_itr):
+            with lock:
+                params = published["params"]
+            samples, rollout_state = self._collect_batch(params)
+            self._k_algo, k = jax.random.split(self._k_algo)
+            if err:
+                raise err[0]
+            batch_q.put((samples, rollout_state, k))
+            interval_itrs += 1
+            if (interval_itrs >= self.itrs_per_interval
+                    or itr == self.n_itr - 1):
+                t1 = time.time()
+                with lock:
+                    opt_info = published["opt_info"]
+                    params = published["params"]
+                eval_eps = (self._evaluate(params)
+                            if self.eval_vec is not None else None)
+                if opt_info is not None:
+                    self._log(itr + 1, t1 - t0, t1 - t_start, opt_info,
+                              eval_eps)
+                interval_itrs = 0
+                t0 = time.time()
+        thread.join()
+        if err:
+            raise err[0]
+        return result["train_state"], result["replay_state"]
