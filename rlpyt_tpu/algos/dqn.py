@@ -22,7 +22,7 @@ from rlpyt_tpu.replay.base import SamplesToBuffer
 from rlpyt_tpu.replay.prioritized import PrioritizedReplayBuffer
 from rlpyt_tpu.replay.uniform import UniformReplayBuffer
 from rlpyt_tpu.samplers.rollout import Samples
-from rlpyt_tpu.struct import select_at_indexes, valid_mean
+from rlpyt_tpu.struct import tree_index, select_at_indexes, valid_mean
 
 
 class DqnTrainState(NamedTuple):
@@ -123,7 +123,7 @@ class DQN(RlAlgorithm):
         self.replay = ReplayCls(**kwargs)
 
         example = SamplesToBuffer(
-            observation=example_obs[0],
+            observation=tree_index(example_obs, 0),
             action=agent.env_spaces.action.null_value(),
             reward=jnp.zeros((), jnp.float32),
             done=jnp.zeros((), jnp.bool_),

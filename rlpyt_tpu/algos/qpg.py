@@ -20,7 +20,7 @@ from rlpyt_tpu.ops.value import polyak_update
 from rlpyt_tpu.replay.base import SamplesToBuffer
 from rlpyt_tpu.replay.uniform import UniformReplayBuffer
 from rlpyt_tpu.samplers.rollout import Samples
-from rlpyt_tpu.struct import tree_copy, valid_mean
+from rlpyt_tpu.struct import tree_index, tree_copy, valid_mean
 
 
 class QpgTrainState(NamedTuple):
@@ -90,7 +90,7 @@ class QpgBase(RlAlgorithm):
             size=self.replay_size, B=batch_spec.B, sample_T=batch_spec.T,
             discount=self.discount, n_step_return=self.n_step)
         example = SamplesToBuffer(
-            observation=example_obs[0],
+            observation=tree_index(example_obs, 0),
             action=agent.env_spaces.action.null_value(),
             reward=jnp.zeros((), jnp.float32),
             done=jnp.zeros((), jnp.bool_),

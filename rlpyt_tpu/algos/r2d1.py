@@ -41,7 +41,7 @@ from rlpyt_tpu.replay.sequence import (
     UniformSequenceReplayBuffer,
 )
 from rlpyt_tpu.samplers.rollout import Samples
-from rlpyt_tpu.struct import select_at_indexes, valid_mean
+from rlpyt_tpu.struct import tree_index, select_at_indexes, valid_mean
 
 
 class R2D1(RlAlgorithm):
@@ -129,7 +129,7 @@ class R2D1(RlAlgorithm):
         self.replay = Cls(**kwargs)
 
         example = SamplesToBuffer(
-            observation=example_obs[0],
+            observation=tree_index(example_obs, 0),
             action=agent.env_spaces.action.null_value(),
             reward=jnp.zeros((), jnp.float32),
             done=jnp.zeros((), jnp.bool_),

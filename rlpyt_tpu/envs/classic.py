@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from rlpyt_tpu.envs.base import Env, EnvStep
-from rlpyt_tpu.spaces import FloatBox, IntBox
+from rlpyt_tpu.spaces import Composite, FloatBox, IntBox
 
 
 class CartPoleState(NamedTuple):
@@ -262,6 +262,33 @@ class Acrobot(Env):
 
     def example_info(self):
         return {"timeout": jnp.zeros((), jnp.bool_)}
+
+
+class DictObsCartPole(CartPole):
+    """CartPole with a Composite (dict) observation space — the
+    end-to-end exerciser for nested observations (reference:
+    rlpyt/spaces/composite.py:Composite + gym_wrapper.py's Dict
+    handling; rlpyt's namedarraytuple made nested observations
+    first-class through samplers, replay, and models alike).  The same
+    pytree flows here through rollout scan → replay ring → model."""
+
+    @property
+    def observation_space(self):
+        hi_pos = [self.x_threshold * 2, self.theta_threshold * 2]
+        hi_vel = [3.0e2, 3.0e2]
+        return Composite({
+            "position": FloatBox(low=[-h for h in hi_pos], high=hi_pos,
+                                 shape=(2,)),
+            "velocity": FloatBox(low=[-h for h in hi_vel], high=hi_vel,
+                                 shape=(2,)),
+        })
+
+    def _obs(self, s: CartPoleState):
+        return {
+            "position": jnp.stack([s.x, s.theta]).astype(jnp.float32),
+            "velocity": jnp.stack([s.x_dot, s.theta_dot]).astype(
+                jnp.float32),
+        }
 
 
 class MountainCarState(NamedTuple):

@@ -33,10 +33,39 @@ from rlpyt_tpu.envs.gym_space import convert_gym_space
 from rlpyt_tpu.envs.base import EnvSpaces
 
 
+def tmap(fn, tree, *rest):
+    """Map over host observation pytrees (dict-of-arrays, possibly
+    nested, or a bare array) — the host-side mirror of the device
+    pytree observations that Composite spaces produce (reference:
+    rlpyt's namedarraytuple indexing crossed nesting the same way,
+    utils/collections.py ~L20)."""
+    if isinstance(tree, dict):
+        return {k: tmap(fn, tree[k], *[r[k] for r in rest]) for k in tree}
+    return fn(tree, *rest)
+
+
+def twrite(dst, b, src):
+    """``dst[b] = src`` on every leaf of an obs pytree."""
+    if isinstance(dst, dict):
+        for k in dst:
+            twrite(dst[k], b, src[k])
+    else:
+        dst[b] = src
+
+
+def tconcat(trees):
+    """Concatenate a list of obs pytrees along axis 0."""
+    if isinstance(trees[0], dict):
+        return {k: tconcat([t[k] for t in trees]) for k in trees[0]}
+    return np.concatenate([np.asarray(t) for t in trees])
+
+
 class GymEnv:
     """(rlpyt/envs/gym.py:GymEnvWrapper ~L10).  Wraps one gymnasium env:
     merges terminated/truncated into ``done`` + ``timeout`` info flag;
-    auto-seeds per reset call."""
+    auto-seeds per reset call.  Dict observation spaces pass through as
+    dict-of-array pytrees (rlpyt/spaces/gym_wrapper.py:GymSpaceWrapper
+    mapped gym Dict onto Composite/namedarraytuple the same way)."""
 
     def __init__(self, id_or_env, **kwargs):
         if isinstance(id_or_env, str):
@@ -53,11 +82,13 @@ class GymEnv:
 
     def reset(self, seed: Optional[int] = None) -> np.ndarray:
         obs, _ = self.env.reset(seed=seed)
-        return np.asarray(obs)
+        return tmap(np.asarray, dict(obs) if isinstance(obs, dict)
+                    else obs)
 
     def step(self, action) -> Tuple[np.ndarray, float, bool, bool]:
         obs, reward, terminated, truncated, _ = self.env.step(action)
-        return np.asarray(obs), float(reward), bool(terminated), bool(truncated)
+        obs = tmap(np.asarray, dict(obs) if isinstance(obs, dict) else obs)
+        return obs, float(reward), bool(terminated), bool(truncated)
 
     def close(self):
         self.env.close()
@@ -142,8 +173,11 @@ def _worker(env_fns, lo, hi, shm, info_shm, sync, seed,
         except OSError:
             pass
     envs = [_make_env(fn) for fn in env_fns[lo:hi]]
-    obs_np, act_np, rew_np, done_np, timeout_np = (
-        spec.view() for spec in shm)
+    obs_spec, act_spec, rew_spec, done_spec, timeout_spec = shm
+    obs_np = tmap(lambda sp: sp.view(), obs_spec)
+    act_np, rew_np, done_np, timeout_np = (
+        spec.view() for spec in (act_spec, rew_spec, done_spec,
+                                 timeout_spec))
     info_np = {k: spec.view() for k, spec in info_shm.items()}
     while True:
         c = sync.wait()
@@ -155,7 +189,7 @@ def _worker(env_fns, lo, hi, shm, info_shm, sync, seed,
         for i, env in enumerate(envs):
             b = lo + i
             if c == CMD_RESET:
-                obs_np[b] = env.reset(seed=seed + b)
+                twrite(obs_np, b, env.reset(seed=seed + b))
                 rew_np[b] = 0.0
                 done_np[b] = False
                 timeout_np[b] = False
@@ -167,7 +201,7 @@ def _worker(env_fns, lo, hi, shm, info_shm, sync, seed,
                 done = terminated or truncated
                 if info.get("traj_done", done):
                     obs = env.reset()
-                obs_np[b] = obs
+                twrite(obs_np, b, obs)
                 rew_np[b] = rew
                 done_np[b] = done
                 timeout_np[b] = truncated and not terminated
@@ -211,8 +245,7 @@ class SharedMemVecEnv:
         probe = _make_env(env_fns[0])
         self.spaces = probe.spaces
         obs_space = self.spaces.observation
-        obs_shape = tuple(obs_space.shape)
-        obs_dtype = np.dtype(str(obs_space.null_value().dtype))
+        obs_null = tmap(np.asarray, obs_space.null_value())
         act_space = self.spaces.action
         act_shape = tuple(getattr(act_space, "shape", ()) or ())
         act_dtype = np.dtype(str(act_space.null_value().dtype))
@@ -227,15 +260,19 @@ class SharedMemVecEnv:
                                            for f in env_fns) else "fork")
         ctx = mp.get_context(start_method)
 
+        obs_spec = tmap(
+            lambda x: _ShmSpec((self.B,) + x.shape, x.dtype, ctx),
+            obs_null)
         specs = (
-            _ShmSpec((self.B,) + obs_shape, obs_dtype, ctx),
+            obs_spec,
             _ShmSpec((self.B,) + act_shape, act_dtype, ctx),
             _ShmSpec((self.B,), np.float32, ctx),
             _ShmSpec((self.B,), np.bool_, ctx),
             _ShmSpec((self.B,), np.bool_, ctx),
         )
-        self.obs, self.act, self.rew, self.done, self.timeout = (
-            sp.view() for sp in specs)
+        self.obs = tmap(lambda sp: sp.view(), obs_spec)
+        self.act, self.rew, self.done, self.timeout = (
+            sp.view() for sp in specs[1:])
         shm = specs
         info_shm = {k: _ShmSpec((self.B,) + tuple(shape), dtype, ctx)
                     for k, (dtype, shape) in info_spec.items()}
@@ -312,9 +349,9 @@ class SerialVecEnv:
         self.B = len(self.envs)
         self.spaces = self.envs[0].spaces
         self.seed = seed
-        obs_shape = tuple(self.spaces.observation.shape)
-        obs_dtype = np.dtype(str(self.spaces.observation.null_value().dtype))
-        self.obs = np.zeros((self.B,) + obs_shape, obs_dtype)
+        obs_null = tmap(np.asarray, self.spaces.observation.null_value())
+        self.obs = tmap(
+            lambda x: np.zeros((self.B,) + x.shape, x.dtype), obs_null)
         self.rew = np.zeros((self.B,), np.float32)
         self.done = np.zeros((self.B,), np.bool_)
         self.timeout = np.zeros((self.B,), np.bool_)
@@ -324,7 +361,7 @@ class SerialVecEnv:
 
     def reset(self) -> np.ndarray:
         for b, env in enumerate(self.envs):
-            self.obs[b] = env.reset(seed=self.seed + b)
+            twrite(self.obs, b, env.reset(seed=self.seed + b))
         for v in self.info.values():
             v[:] = 0
         return self.obs
@@ -335,7 +372,7 @@ class SerialVecEnv:
             done = terminated or truncated
             if info.get("traj_done", done):  # see _worker on traj_done
                 obs = env.reset()
-            self.obs[b] = obs
+            twrite(self.obs, b, obs)
             self.rew[b] = rew
             self.done[b] = done
             self.timeout[b] = truncated and not terminated
@@ -366,7 +403,7 @@ class PairedVecEnv:
 
     @property
     def obs(self) -> np.ndarray:
-        return np.concatenate([np.asarray(h.obs) for h in self.halves])
+        return tconcat([h.obs for h in self.halves])
 
     @property
     def info(self) -> Dict[str, np.ndarray]:
@@ -375,16 +412,14 @@ class PairedVecEnv:
                 for k in a}
 
     def reset(self) -> np.ndarray:
-        return np.concatenate([np.asarray(h.reset()) for h in self.halves])
+        return tconcat([h.reset() for h in self.halves])
 
     def step(self, actions: np.ndarray):
         """Lock-step step of both halves (non-alternating fallback)."""
         b_a = self.halves[0].B
         out_a = self.halves[0].step(actions[:b_a])
         out_b = self.halves[1].step(actions[b_a:])
-        return tuple(
-            np.concatenate([np.asarray(a), np.asarray(b)])
-            for a, b in zip(out_a, out_b))
+        return tuple(tconcat([a, b]) for a, b in zip(out_a, out_b))
 
     def close(self):
         for h in self.halves:

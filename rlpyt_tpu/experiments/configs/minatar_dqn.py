@@ -56,4 +56,9 @@ config["algo"] = dict(
     target_update_interval=1_000, n_step_return=5, learning_rate=1e-4,
     double_dqn=True, prioritized_replay=True, pri_alpha=0.6,
     pri_beta=0.9, pri_eta=0.9, input_priorities=True)
+# sampler batch_T must be a multiple of the sequence-replay rnn-state
+# store interval (= warmup_T, replay/sequence.py:70); rlpyt's R2D1
+# sampler used batch_T=40 for the same reason (store-state stride 40).
+config["sampler"] = dict(batch_T=40, batch_B=64,
+                         max_decorrelation_steps=100)
 configs["r2d1"] = config

@@ -16,7 +16,11 @@ import jax.numpy as jnp
 from rlpyt_tpu.models.conv import Conv2dModel
 from rlpyt_tpu.models.mlp import MlpModel
 from rlpyt_tpu.models.rnn import LstmCore, RnnState
-from rlpyt_tpu.struct import infer_leading_dims, restore_leading_dims
+from rlpyt_tpu.struct import (
+    infer_leading_dims,
+    infer_leading_dims_tree,
+    restore_leading_dims,
+)
 
 # Nature-CNN defaults adapted by rlpyt to its 104x80 frames
 # (rlpyt/models/dqn/atari_dqn_model.py ~L30).
@@ -192,8 +196,11 @@ class DqnMlpModel(nn.Module):
 
     @nn.compact
     def __call__(self, observation, prev_action=None, prev_reward=None):
-        lead_dim, T, B, obs_shape = infer_leading_dims(observation, 1)
-        x = observation.reshape((T * B,) + obs_shape).astype(jnp.float32)
+        # Accepts a bare array or a pytree (Composite/dict) observation:
+        # pytree leaves are flattened and concatenated on the feature
+        # axis (rlpyt models consumed Composite observations the same
+        # way through namedarraytuple leaves).
+        lead_dim, T, B, x = infer_leading_dims_tree(observation, 1)
         if self.dueling:
             q = DuelingHead(self.hidden_sizes, self.n_actions,
                             self.compute_dtype)(x)

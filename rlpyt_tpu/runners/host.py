@@ -136,12 +136,12 @@ class HostMinibatchRl:
         self._k_agent, self._k_algo, k_init = jax.random.split(key, 3)
         self.agent.initialize(self.vec.spaces)
         T, B = self.batch_spec
-        obs0 = np.array(self.vec.reset())
+        obs0 = jax.tree.map(np.array, self.vec.reset())
         self.n_itr = max(1, math.ceil(self.n_steps / self.batch_spec.size))
         self.itrs_per_interval = max(
             1, self.log_interval_steps // self.batch_spec.size)
 
-        obs_dev = jnp.asarray(obs0)
+        obs_dev = jax.tree.map(jnp.asarray, obs0)
         train_state, replay_state = self.algo.initialize(
             self.agent, self.batch_spec, obs_dev, k_init, n_itr=self.n_itr)
 
@@ -191,9 +191,9 @@ class HostMinibatchRl:
         obs = self.vec.obs
         for t in range(T):
             self._k_agent, k = jax.random.split(self._k_agent)
-            obs_t = np.array(obs)  # snapshot before the env overwrites
+            obs_t = jax.tree.map(np.array, obs)  # snapshot before the env overwrites
             astep, self._carry = self._step_fn(
-                params, k, jnp.asarray(obs_t),
+                params, k, jax.tree.map(jnp.asarray, obs_t),
                 jnp.asarray(self._prev_action),
                 jnp.asarray(self._prev_reward), self._carry,
                 jnp.asarray(self._cum_steps + t * B, jnp.int32))
@@ -231,7 +231,8 @@ class HostMinibatchRl:
             agent_info = jax.tree.map(
                 lambda *xs: jnp.asarray(np.stack(xs)), *info_l)
         samples = Samples(
-            observation=jnp.asarray(np.stack(obs_l)),
+            observation=jax.tree.map(
+                lambda *xs: jnp.asarray(np.stack(xs)), *obs_l),
             action=jnp.asarray(np.stack(act_l)),
             reward=jnp.asarray(np.stack(rew_l)),
             done=jnp.asarray(np.stack(done_l)),
@@ -243,7 +244,8 @@ class HostMinibatchRl:
                          for k, v in einfo_l.items()}},
         )
         rollout_state = HostRolloutState(
-            observation=jnp.asarray(np.array(self.vec.obs)),
+            observation=jax.tree.map(
+                lambda x: jnp.asarray(np.array(x)), self.vec.obs),
             prev_action=jnp.asarray(self._prev_action),
             prev_reward=jnp.asarray(self._prev_reward),
             agent_carry=self._carry,
@@ -270,7 +272,7 @@ class HostMinibatchRl:
         halves = self.vec.halves
         b_a = halves[0].B
         sl = (slice(0, b_a), slice(b_a, Btot))
-        h_obs = [np.array(h.obs) for h in halves]
+        h_obs = [jax.tree.map(np.array, h.obs) for h in halves]
         recs = [{k: [] for k in ("obs", "act", "rew", "done", "to",
                                  "pa", "pr")} for _ in range(2)]
         infos = ([], [])
@@ -278,7 +280,7 @@ class HostMinibatchRl:
         def dispatch(h, t):
             self._k_agent, k = jax.random.split(self._k_agent)
             return self._step_fn(
-                params, k, jnp.asarray(h_obs[h]),
+                params, k, jax.tree.map(jnp.asarray, h_obs[h]),
                 jnp.asarray(self._prev_action[sl[h]]),
                 jnp.asarray(self._prev_reward[sl[h]]),
                 self._alt_carry[h],
@@ -289,13 +291,13 @@ class HostMinibatchRl:
             slice of the prev/episode bookkeeping."""
             actions = np.asarray(astep.action)  # blocks on the device
             rec = recs[h]
-            rec["obs"].append(h_obs[h].copy())
+            rec["obs"].append(jax.tree.map(np.copy, h_obs[h]))
             rec["act"].append(actions)
             rec["pa"].append(self._prev_action[sl[h]].copy())
             rec["pr"].append(self._prev_reward[sl[h]].copy())
             infos[h].append(jax.device_get(astep.agent_info))
             obs, rew, done, timeout = halves[h].step(actions)
-            h_obs[h] = np.array(obs)
+            h_obs[h] = jax.tree.map(np.array, obs)
             rew = np.array(rew)
             done = np.array(done)
             rec["rew"].append(rew)
@@ -336,8 +338,14 @@ class HostMinibatchRl:
             agent_info = jax.tree.map(
                 lambda a, b: jnp.asarray(np.concatenate([a, b], axis=1)),
                 *stacked)
+        obs_stacked = [
+            jax.tree.map(lambda *xs: np.stack(xs), *recs[h]["obs"])
+            for h in range(2)]
         samples = Samples(
-            observation=tb("obs"), action=tb("act"),
+            observation=jax.tree.map(
+                lambda a, b: jnp.asarray(np.concatenate([a, b], axis=1)),
+                *obs_stacked),
+            action=tb("act"),
             reward=tb("rew", np.float32), done=tb("done"),
             prev_action=tb("pa"), prev_reward=tb("pr", np.float32),
             agent_info=agent_info,
@@ -346,7 +354,8 @@ class HostMinibatchRl:
         carry = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
                              self._alt_carry[0], self._alt_carry[1])
         rollout_state = HostRolloutState(
-            observation=jnp.asarray(np.concatenate(h_obs)),
+            observation=jax.tree.map(
+                lambda a, b: jnp.asarray(np.concatenate([a, b])), *h_obs),
             prev_action=jnp.asarray(self._prev_action),
             prev_reward=jnp.asarray(self._prev_reward),
             agent_carry=carry,
@@ -364,7 +373,7 @@ class HostMinibatchRl:
         trajectories; episodes still running at the cap are discarded."""
         vec = self.eval_vec
         B = vec.B
-        obs = np.array(vec.reset())
+        obs = jax.tree.map(np.array, vec.reset())
         act_null = np.asarray(vec.spaces.action.null_value())
         prev_action = np.broadcast_to(
             act_null, (B,) + act_null.shape).copy()
@@ -375,7 +384,8 @@ class HostMinibatchRl:
         for _ in range(max_T):
             self._k_agent, k = jax.random.split(self._k_agent)
             astep, carry = self._eval_step_fn(
-                params, k, jnp.asarray(obs), jnp.asarray(prev_action),
+                params, k, jax.tree.map(jnp.asarray, obs),
+                jnp.asarray(prev_action),
                 jnp.asarray(prev_reward), carry,
                 jnp.asarray(self._cum_steps, jnp.int32))
             actions = np.asarray(astep.action)

@@ -180,6 +180,25 @@ def infer_leading_dims(x: jax.Array, dim: int):
     return lead_dim, T, B, x.shape[lead_dim:]
 
 
+def infer_leading_dims_tree(observation, dim: int = 1):
+    """Pytree-aware ``infer_leading_dims`` + flatten-and-concat (rlpyt's
+    Composite observations: spaces/composite.py mapped a tuple of spaces
+    onto a namedarraytuple whose leaves all share the leading dims; here
+    the container is any pytree, e.g. a dict observation).
+
+    Each leaf is treated as having ``dim`` trailing feature dims (the
+    common case for vector observations is 1); leaves are flattened to
+    [T*B, prod(feat)] and concatenated along the feature axis in
+    canonical pytree-leaf order.  Returns (lead_dim, T, B, x) with x of
+    shape [T*B, F_total].  A bare array input degrades to the scalar
+    helper unchanged.
+    """
+    leaves = jax.tree_util.tree_leaves(observation)
+    lead_dim, T, B, _ = infer_leading_dims(leaves[0], dim)
+    flat = [l.reshape((T * B, -1)).astype(jnp.float32) for l in leaves]
+    return lead_dim, T, B, jnp.concatenate(flat, axis=-1)
+
+
 def restore_leading_dims(x, lead_dim: int, T: int = 1, B: int = 1):
     """Undo the [T*B] flattening (rlpyt/utils/tensor.py:restore_leading_dims)."""
 
