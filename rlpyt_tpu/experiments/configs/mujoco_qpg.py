@@ -12,7 +12,9 @@ config = dict(
         batch_size=256,
         min_steps_learn=int(1e4),
         replay_size=int(1e6),
-        replay_ratio=1.0,
+        # rlpyt mujoco_sac.py replay_ratio=256 -> one gradient step per
+        # env step (updates_per_optimize = ratio * T*B / batch_size)
+        replay_ratio=256.0,
         learning_rate=3e-4,
         target_update_tau=0.005,
     ),
@@ -26,10 +28,12 @@ configs["sac"] = config
 config = copy.deepcopy(config)
 config["algo"] = dict(
     batch_size=256, min_steps_learn=int(1e4), replay_size=int(1e6),
-    replay_ratio=1.0, learning_rate=1e-3, q_learning_rate=1e-3,
+    replay_ratio=100.0,  # rlpyt mujoco_td3.py
+    learning_rate=1e-3, q_learning_rate=1e-3,
     target_update_tau=0.005)
 configs["td3"] = config
 
 config = copy.deepcopy(configs["td3"])
 config["algo"]["learning_rate"] = 1e-4
+config["algo"]["replay_ratio"] = 64.0  # rlpyt mujoco_ddpg.py
 configs["ddpg"] = config
