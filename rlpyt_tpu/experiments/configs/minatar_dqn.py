@@ -52,8 +52,11 @@ config["agent"] = dict(eps_steps=100_000, eps_final=0.1,
                        eps_final_min=0.0005, lstm_size=128)
 config["algo"] = dict(
     discount=0.997, batch_b=32, batch_T=40, warmup_T=20,
-    min_steps_learn=5_000, replay_size=500_000, replay_ratio=1.0,
-    target_update_interval=1_000, n_step_return=5, learning_rate=1e-4,
+    min_steps_learn=5_000, replay_size=500_000,
+    # lr 3e-4 / ratio 2 measured clearly better than rlpyt's Atari-scale
+    # 1e-4 / 1 at MinAtar's reward scale (flat vs 2x improvement at 1M)
+    replay_ratio=2.0,
+    target_update_interval=1_000, n_step_return=5, learning_rate=3e-4,
     double_dqn=True, prioritized_replay=True, pri_alpha=0.6,
     pri_beta=0.9, pri_eta=0.9, input_priorities=True)
 # sampler batch_T must be a multiple of the sequence-replay rnn-state

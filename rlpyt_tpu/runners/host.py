@@ -86,7 +86,8 @@ def _log_window(rec, prefix: str, window: list, has_score: bool):
     """Tabular keys matching rlpyt's TrajInfo columns (runners/
     minibatch_rl.py:log_diagnostics ~L250)."""
     rec(prefix + "Trajs", len(window))
-    keys = [("ReturnAverage", 0, np.mean), ("ReturnMax", 0, np.max),
+    keys = [("ReturnAverage", 0, np.mean), ("ReturnStd", 0, np.std),
+            ("ReturnMax", 0, np.max),
             ("ReturnMin", 0, np.min), ("LengthAverage", 1, np.mean),
             ("NonzeroRewardsAverage", 2, np.mean),
             ("DiscountedReturnAverage", 3, np.mean)]
@@ -438,8 +439,14 @@ class HostMinibatchRl:
         rec("Iteration", itr)
         rec("CumSteps", self._cum_steps)
         rec("CumTime (s)", total)
-        rec("StepsPerSecond",
-            self.itrs_per_interval * self.batch_spec.size / dt)
+        steps = self.itrs_per_interval * self.batch_spec.size
+        rec("StepsPerSecond", steps / dt)
+        updates = (self.itrs_per_interval
+                   * getattr(self.algo, "updates_per_optimize", 1))
+        rec("UpdatesPerSecond", updates / dt)
+        batch_size = getattr(self.algo, "batch_size", None)
+        if batch_size:
+            rec("ReplayRatio", updates * batch_size / steps)
         _log_window(rec, "", self._traj.pop(), self._has_score)
         for field, val in zip(opt_info._fields, opt_info):
             rec(field, float(np.mean(np.asarray(val))))

@@ -200,7 +200,10 @@ class MinibatchRl:
         rec = self.logger.record_tabular
         rec(prefix + "Trajs", n)
         if n > 0:
-            rec(prefix + "ReturnAverage", float(ts.sum_return) / n)
+            mean = float(ts.sum_return) / n
+            var = max(0.0, float(ts.sum_sq_return) / n - mean * mean)
+            rec(prefix + "ReturnAverage", mean)
+            rec(prefix + "ReturnStd", var ** 0.5)
             rec(prefix + "ReturnMax", float(ts.max_return))
             rec(prefix + "ReturnMin", float(ts.min_return))
             rec(prefix + "LengthAverage", float(ts.sum_length) / n)
@@ -209,8 +212,9 @@ class MinibatchRl:
             rec(prefix + "DiscountedReturnAverage",
                 float(ts.sum_discounted_return) / n)
         else:
-            for k in ("ReturnAverage", "ReturnMax", "ReturnMin",
-                      "LengthAverage", "NonzeroRewardsAverage",
+            for k in ("ReturnAverage", "ReturnStd", "ReturnMax",
+                      "ReturnMin", "LengthAverage",
+                      "NonzeroRewardsAverage",
                       "DiscountedReturnAverage"):
                 rec(prefix + k, float("nan"))
 
@@ -220,8 +224,16 @@ class MinibatchRl:
         rec("Iteration", itr)
         rec("CumSteps", cum_steps)
         rec("CumTime (s)", dt_total)
-        rec("StepsPerSecond",
-            self.itrs_per_interval * self.batch_spec.size / dt_interval)
+        steps = self.itrs_per_interval * self.batch_spec.size
+        rec("StepsPerSecond", steps / dt_interval)
+        # rlpyt minibatch_rl.py log_diagnostics ~L250: UpdatesPerSecond
+        # and ReplayRatio tabular keys
+        updates = (self.itrs_per_interval
+                   * getattr(self.algo, "updates_per_optimize", 1))
+        rec("UpdatesPerSecond", updates / dt_interval)
+        batch_size = getattr(self.algo, "batch_size", None)
+        if batch_size:
+            rec("ReplayRatio", updates * batch_size / steps)
         self._log_traj_stats("", traj_stats)
         for field, val in zip(opt_infos._fields, opt_infos):
             rec(field, float(np.mean(np.asarray(val))))

@@ -59,6 +59,7 @@ class TrajStats(NamedTuple):
 
     completed: jax.Array     # int32 count of episodes finished in window
     sum_return: jax.Array
+    sum_sq_return: jax.Array  # for ReturnStd (rlpyt record_tabular_misc_stat)
     sum_length: jax.Array
     sum_nonzero_rewards: jax.Array
     sum_discounted_return: jax.Array  # rlpyt TrajInfo.DiscountedReturn
@@ -70,6 +71,7 @@ class TrajStats(NamedTuple):
         return TrajStats(
             completed=jnp.zeros((), jnp.int32),
             sum_return=jnp.zeros((), jnp.float32),
+            sum_sq_return=jnp.zeros((), jnp.float32),
             sum_length=jnp.zeros((), jnp.float32),
             sum_nonzero_rewards=jnp.zeros((), jnp.float32),
             sum_discounted_return=jnp.zeros((), jnp.float32),
@@ -259,6 +261,8 @@ class Collector:
         traj_stats = TrajStats(
             completed=ts.completed + jnp.sum(d.astype(jnp.int32)),
             sum_return=ts.sum_return + jnp.sum(ep_return * df),
+            sum_sq_return=(ts.sum_sq_return
+                           + jnp.sum(ep_return ** 2 * df)),
             sum_length=ts.sum_length + jnp.sum(ep_length * df),
             sum_nonzero_rewards=(
                 ts.sum_nonzero_rewards + jnp.sum(ep_nonzero * df)),
