@@ -1,0 +1,75 @@
+"""Wallclock/steps-to-target-return extraction (BASELINE.md metric #2;
+VERDICT round-1 item #4b).
+
+rlpyt's operative claim is time-to-result on real configs; this script
+derives {seconds, env-steps} to a fixed target ReturnAverage from the
+committed curve artifacts (curves/<name>/run_*/progress.csv), so the
+number is reproducible from the same artifacts the curves ship with.
+
+Targets are placed at "clearly learning" levels relative to published
+MinAtar (Young & Tian 2019) / MuJoCo baselines, below each run's final
+value so the metric measures time-to-reach, not asymptote luck.
+
+Usage: python curves/time_to_return.py  → prints a JSON table and
+writes curves/time_to_return.json.
+"""
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+
+CURVES = os.path.dirname(os.path.abspath(__file__))
+
+# config name -> target ReturnAverage
+TARGETS = {
+    "minatar_breakout_ernbw": 10.0,
+    "minatar_space_invaders_ernbw": 30.0,
+    "minatar_asterix_ernbw": 10.0,
+    "minatar_seaquest_ernbw": 5.0,
+    "minatar_freeway_ernbw": 10.0,
+    "minatar_breakout_ppo": 3.0,
+    "minatar_breakout_a2c": 2.5,
+    "minatar_breakout_r2d1": 5.0,
+    "minatar_space_invaders_r2d1": 30.0,
+    "mujoco_HalfCheetah-v5_sac": 2000.0,
+    "mujoco_HalfCheetah-v5_td3": 1500.0,
+    "mujoco_Walker2d-v5_sac": 800.0,
+    "mujoco_Walker2d-v5_td3": 800.0,
+}
+
+
+def first_crossing(csv_path: str, target: float):
+    with open(csv_path) as f:
+        for row in csv.DictReader(f):
+            try:
+                ret = float(row["ReturnAverage"])
+            except (KeyError, ValueError):
+                continue
+            if ret >= target:
+                return {"seconds": float(row["CumTime (s)"]),
+                        "steps": int(float(row["CumSteps"])),
+                        "return": ret}
+    return None
+
+
+def main():
+    out = {}
+    for name, target in sorted(TARGETS.items()):
+        runs = sorted(glob.glob(os.path.join(CURVES, name, "run_*",
+                                             "progress.csv")))
+        if not runs:
+            out[name] = {"target": target, "status": "no artifact"}
+            continue
+        hit = first_crossing(runs[0], target)
+        out[name] = {"target": target,
+                     **({"status": "not reached"} if hit is None
+                        else {"status": "ok", **hit})}
+    print(json.dumps(out, indent=1))
+    with open(os.path.join(CURVES, "time_to_return.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
