@@ -8,17 +8,22 @@ from, scaled to saturate one chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: rlpyt's serial-sampler Atari DQN steps ~1-2k env-steps/s
-(examples/example_1.py class; BASELINE.md "operative baseline is to be
-measured" — the constant below is the documented stand-in until the
-reference mount is populated).  Target: >=10x per chip.
+Baseline: rlpyt's serial-sampler Atari DQN steps ~1-2k env-steps/s on
+a GPU server (examples/example_1.py class; literature estimate — the
+reference mount is empty so rlpyt itself cannot be run here).  A
+*measured* stand-in exists: bench_baseline_standin.py reproduces the
+serial-DQN topology in torch on this host's CPU (Nature-CNN,
+replay_ratio 8) and measures ~4-30 env-steps/s depending on
+contention — see BASELINE.md.  vs_baseline below divides by the
+GENEROUS 2,000 GPU estimate, so the headline ratio is understated,
+never inflated.  Target: >=10x per chip.
 """
 from __future__ import annotations
 
 import json
 import time
 
-RLPYT_SERIAL_ATARI_STEPS_PER_S = 2_000.0  # BASELINE.md (estimate)
+RLPYT_SERIAL_ATARI_STEPS_PER_S = 2_000.0  # generous GPU estimate (above)
 
 
 def main():
