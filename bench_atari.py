@@ -138,7 +138,10 @@ def main():
 
     compiled = runner._run_interval.lower(carry).compile()
     cost = compiled.cost_analysis()
-    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    # cost_analysis() can be None or an empty list on some
+    # backends/versions; degrade to flops=0 instead of raising.
+    cost = cost[0] if isinstance(cost, (list, tuple)) and cost \
+        else (cost or {})
     flops_per_interval = float(cost.get("flops", 0.0))
 
     carry, _, _ = runner._run_interval(carry)  # warmup (compile cached)

@@ -55,7 +55,7 @@ def run_mujoco_qpg(config_key, env_id, n_steps=400_000, seed=0):
     overrides = {
         "env": {"id": env_id}, "eval_env": {"id": env_id},
         "runner": {"n_steps": n_steps, "log_interval_steps": 20_000},
-        "sampler": {"n_workers": 2, "eval_n_envs": 0},
+        "sampler": {"n_workers": 2},
     }
     build_and_train(config_key, log_dir=os.path.join(
         CURVES, f"mujoco_{env_id}_{config_key}"), run_id=seed, seed=seed,

@@ -9,6 +9,11 @@ optimization — rlpyt's GpuSampler topology.  The ``env.fake`` flag
 swaps in the scripted FakeALE backend (envs/fake_ale.py) so the whole
 config is smoke-runnable without ale_py; with ale_py installed, remove
 it (or set False) and the same config runs the real emulator.
+
+Real-emulator install path (when the image allows installs):
+``pip install ale-py`` (ships Atari ROMs since 0.9); then
+``tests/test_atari.py::test_real_ale_readiness`` upgrades the claim
+from FakeALE-proven to emulator-proven with zero code changes.
 """
 import copy
 

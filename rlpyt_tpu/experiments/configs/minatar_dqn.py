@@ -33,7 +33,12 @@ config = dict(
     env=dict(game="breakout", sticky_action_prob=0.1, ramping=True),
     eval_env=dict(game="breakout", sticky_action_prob=0.1, ramping=True),
     runner=dict(n_steps=2_000_000, log_interval_steps=100_000),
-    sampler=dict(batch_T=32, batch_B=64, max_decorrelation_steps=100),
+    # eval caps: eval_T = eval_max_steps // eval_n_envs = 3000 per env
+    # covers freeway's fixed 2500-step episodes; the while_loop eval
+    # (samplers/rollout.py:evaluate) stops early at the traj cap.
+    sampler=dict(batch_T=32, batch_B=64, max_decorrelation_steps=100,
+                 eval_n_envs=32, eval_max_steps=96_000,
+                 eval_max_trajectories=100),
 )
 configs["dqn"] = config
 
@@ -63,5 +68,7 @@ config["algo"] = dict(
 # store interval (= warmup_T, replay/sequence.py:70); rlpyt's R2D1
 # sampler used batch_T=40 for the same reason (store-state stride 40).
 config["sampler"] = dict(batch_T=40, batch_B=64,
-                         max_decorrelation_steps=100)
+                         max_decorrelation_steps=100,
+                         eval_n_envs=32, eval_max_steps=96_000,
+                         eval_max_trajectories=100)
 configs["r2d1"] = config

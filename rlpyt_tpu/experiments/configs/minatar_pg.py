@@ -21,7 +21,9 @@ config = dict(
     env=dict(game="breakout", sticky_action_prob=0.1, ramping=True),
     eval_env=dict(game="breakout", sticky_action_prob=0.1, ramping=True),
     runner=dict(n_steps=5_000_000, log_interval_steps=100_000),
-    sampler=dict(batch_T=16, batch_B=128, max_decorrelation_steps=100),
+    sampler=dict(batch_T=16, batch_B=128, max_decorrelation_steps=100,
+                 eval_n_envs=32, eval_max_steps=96_000,
+                 eval_max_trajectories=100),
 )
 configs["a2c"] = config
 

@@ -24,7 +24,9 @@ config = dict(
     env=dict(id="HalfCheetah-v5"),
     eval_env=dict(id="HalfCheetah-v5"),
     runner=dict(n_steps=int(1e6), log_interval_steps=int(2e4)),
-    sampler=dict(batch_T=256, batch_B=8, n_workers=8),
+    sampler=dict(batch_T=256, batch_B=8, n_workers=8,
+                 eval_n_envs=4, eval_max_steps=5_000,
+                 eval_max_trajectories=4),
 )
 configs["ppo"] = config
 
@@ -38,5 +40,7 @@ config["algo"] = dict(
     gae_lambda=1.0,
     normalize_advantage=False,
 )
-config["sampler"] = dict(batch_T=100, batch_B=8, n_workers=8)
+config["sampler"] = dict(batch_T=100, batch_B=8, n_workers=8,
+                         eval_n_envs=4, eval_max_steps=5_000,
+                         eval_max_trajectories=4)
 configs["a2c"] = config

@@ -21,7 +21,12 @@ config = dict(
     env=dict(id="HalfCheetah-v5"),
     eval_env=dict(id="HalfCheetah-v5"),
     runner=dict(n_steps=int(1e6), log_interval_steps=int(1e4)),
-    sampler=dict(batch_T=32, batch_B=16, n_workers=8),
+    # host-farm eval (runners/host.py:_evaluate): max_T =
+    # eval_max_steps // eval_n_envs = 1250 >= the 1000-step TimeLimit,
+    # so every eval env completes at least one episode.
+    sampler=dict(batch_T=32, batch_B=16, n_workers=8,
+                 eval_n_envs=4, eval_max_steps=5_000,
+                 eval_max_trajectories=4),
 )
 configs["sac"] = config
 

@@ -30,6 +30,24 @@ from rlpyt_tpu.utils.logging import TabularLogger, logger_context
 from rlpyt_tpu.utils.variant import load_variant, update_config
 
 
+def _eval_kwargs(config):
+    """Offline-eval wiring (reference: rlpyt/runners/minibatch_rl.py
+    MinibatchRlEval ~L300 — the online+offline validation loop; the
+    sampler carries eval_n_envs/eval_max_steps/eval_max_trajectories,
+    rlpyt/samplers/base.py:BaseSampler.__init__)."""
+    sampler = config.get("sampler", {})
+    if sampler.get("eval_n_envs", 0) <= 0 or "eval_env" not in config:
+        return {}
+    eval_cfg = dict(config["eval_env"])
+    game = eval_cfg.pop("game")
+    return dict(
+        eval_env=make_minatar(game, **eval_cfg),
+        eval_n_envs=sampler["eval_n_envs"],
+        eval_max_steps=sampler.get("eval_max_steps", 2_500),
+        eval_max_trajectories=sampler.get("eval_max_trajectories"),
+    )
+
+
 def build_and_train(config_key: str = "dqn", log_dir=None, run_id: int = 0,
                     mesh=None, seed: int = 0, variant=None,
                     config_overrides=None):
@@ -64,7 +82,7 @@ def build_and_train(config_key: str = "dqn", log_dir=None, run_id: int = 0,
         algo=algo, agent=agent, env=env,
         batch_spec=BatchSpec(sampler["batch_T"], sampler["batch_B"]),
         max_decorrelation_steps=sampler.get("max_decorrelation_steps", 100),
-        seed=seed, **config["runner"])
+        seed=seed, **_eval_kwargs(config), **config["runner"])
     if mesh is not None:
         runner_kwargs["mesh"] = mesh
 

@@ -277,6 +277,7 @@ class HostMinibatchRl:
         recs = [{k: [] for k in ("obs", "act", "rew", "done", "to",
                                  "pa", "pr")} for _ in range(2)]
         infos = ([], [])
+        einfos = ({}, {})  # farm info keys, per half: key -> [t] lists
 
         def dispatch(h, t):
             self._k_agent, k = jax.random.split(self._k_agent)
@@ -304,8 +305,10 @@ class HostMinibatchRl:
             rec["rew"].append(rew)
             rec["done"].append(done)
             rec["to"].append(np.array(timeout))
-            self._traj.step(sl[h], rew, done,
-                            getattr(halves[h], "info", {}))
+            env_info = getattr(halves[h], "info", {})
+            for k_, v in env_info.items():
+                einfos[h].setdefault(k_, []).append(np.array(v))
+            self._traj.step(sl[h], rew, done, env_info)
             self._prev_action[sl[h]] = np.where(
                 done.reshape(done.shape + (1,) * (actions.ndim - 1)),
                 np.zeros_like(actions), actions)
@@ -350,7 +353,15 @@ class HostMinibatchRl:
             reward=tb("rew", np.float32), done=tb("done"),
             prev_action=tb("pa"), prev_reward=tb("pr", np.float32),
             agent_info=agent_info,
-            env_info={"timeout": tb("to")},
+            # forward ALL farm info keys (game_score, traj_done, ...) so
+            # the sample schema matches the non-alternating path — an ALE
+            # farm under PairedVecEnv must not lose AtariTrajInfo fields
+            # (rlpyt AlternatingSampler keeps the same Samples schema).
+            env_info={"timeout": tb("to"),
+                      **{k_: jnp.asarray(np.stack(
+                             [np.concatenate([a, b]) for a, b in
+                              zip(einfos[0][k_], einfos[1][k_])]))
+                         for k_ in einfos[0]}},
         )
         carry = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
                              self._alt_carry[0], self._alt_carry[1])

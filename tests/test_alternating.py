@@ -88,6 +88,59 @@ def test_alternating_recurrent_two_carry_banks():
         farm.close()
 
 
+def test_alternating_env_info_schema_matches_serial():
+    """Alternating collection must forward ALL farm info keys into
+    Samples.env_info exactly like the non-alternating path — an ALE
+    farm under PairedVecEnv must not lose game_score/traj_done
+    (reference: rlpyt AlternatingSampler shares the Samples schema
+    with every other sampler)."""
+    import jax
+    from rlpyt_tpu.agents.dqn import DqnAgent
+    from rlpyt_tpu.algos.dqn import DQN
+    from rlpyt_tpu.envs.atari import AtariEnv
+    from rlpyt_tpu.envs.fake_ale import FakeALE
+    from rlpyt_tpu.models.dqn import AtariDqnModel
+    from rlpyt_tpu.runners.host import HostMinibatchRl
+
+    def fake_env(seed=0):
+        return lambda: AtariEnv(ale_factory=FakeALE, seed=seed,
+                                max_start_noops=0,
+                                repeat_action_probability=0.0)
+
+    tiny_model = dict(channels=(8,), kernel_sizes=(8,), strides=(8,),
+                      paddings=(0,), fc_sizes=(32,))
+
+    def collect(vec):
+        agent = DqnAgent(ModelCls=AtariDqnModel,
+                         model_kwargs=tiny_model)
+        algo = DQN(min_steps_learn=10_000, replay_size=4_096,
+                   batch_size=32, frame_buffer=True)
+        runner = HostMinibatchRl(algo=algo, agent=agent, vec_env=vec,
+                                 batch_T=8, n_steps=32, seed=0)
+        train_state, _ = runner.startup()
+        samples, _ = runner._collect_batch(train_state.params)
+        return samples
+
+    serial_vec = SerialVecEnv([fake_env(b) for b in range(4)], seed=0)
+    paired_vec = PairedVecEnv(
+        SerialVecEnv([fake_env(b) for b in range(2)], seed=0),
+        SerialVecEnv([fake_env(2 + b) for b in range(2)], seed=100))
+    try:
+        s_serial = collect(serial_vec)
+        s_alt = collect(paired_vec)
+        assert set(s_serial.env_info) == set(s_alt.env_info)
+        assert {"timeout", "game_score", "traj_done"} <= set(
+            s_alt.env_info)
+        for k in s_serial.env_info:
+            assert (s_alt.env_info[k].shape
+                    == s_serial.env_info[k].shape), k
+            assert (s_alt.env_info[k].dtype
+                    == s_serial.env_info[k].dtype), k
+    finally:
+        serial_vec.close()
+        paired_vec.close()
+
+
 def test_alternating_trains_e2e():
     from rlpyt_tpu.experiments.scripts.mujoco_pg import build_and_train
     runner, (train_state, _) = build_and_train(

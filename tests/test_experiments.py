@@ -54,7 +54,8 @@ def test_dqn_script_smoke(tmp_path):
     from rlpyt_tpu.experiments.scripts.minatar_dqn import build_and_train
     overrides = dict(
         runner=dict(n_steps=4_096, log_interval_steps=2_048),
-        sampler=dict(batch_T=16, batch_B=8),
+        sampler=dict(batch_T=16, batch_B=8, eval_n_envs=8,
+                     eval_max_steps=256, eval_max_trajectories=8),
         algo=dict(min_steps_learn=256, replay_size=8_192, replay_ratio=1.0),
     )
     runner, carry = build_and_train(
@@ -67,6 +68,10 @@ def test_dqn_script_smoke(tmp_path):
     assert (run_dir / "params.pkl").exists()     # snapshot_mode="last"
     rows = (run_dir / "progress.csv").read_text().strip().splitlines()
     assert len(rows) >= 2                        # header + >=1 interval
+    # offline eval wired through the script (rlpyt MinibatchRlEval
+    # surface): Eval* tabular keys must be present in progress.csv
+    assert "EvalReturnAverage" in rows[0]
+    assert "EvalTrajs" in rows[0]
     cfg = json.loads((run_dir / "params.json").read_text())
     assert cfg["runner"]["n_steps"] == 4_096
 
@@ -76,7 +81,8 @@ def test_ernbw_script_smoke():
     from rlpyt_tpu.experiments.scripts.minatar_dqn import build_and_train
     overrides = dict(
         runner=dict(n_steps=2_048, log_interval_steps=2_048),
-        sampler=dict(batch_T=16, batch_B=8),
+        sampler=dict(batch_T=16, batch_B=8, eval_n_envs=4,
+                     eval_max_steps=64, eval_max_trajectories=4),
         algo=dict(min_steps_learn=256, replay_size=8_192, replay_ratio=1.0),
     )
     runner, carry = build_and_train("ernbw", config_overrides=overrides)
@@ -88,7 +94,8 @@ def test_r2d1_script_smoke():
     from rlpyt_tpu.experiments.scripts.minatar_dqn import build_and_train
     overrides = dict(
         runner=dict(n_steps=2_048, log_interval_steps=2_048),
-        sampler=dict(batch_T=16, batch_B=8),
+        sampler=dict(batch_T=16, batch_B=8, eval_n_envs=4,
+                     eval_max_steps=64, eval_max_trajectories=4),
         algo=dict(min_steps_learn=256, replay_size=8_192, replay_ratio=0.5,
                   batch_b=4, batch_T=8, warmup_T=4),
     )
@@ -101,7 +108,8 @@ def test_ppo_script_smoke():
     from rlpyt_tpu.experiments.scripts.minatar_pg import build_and_train
     overrides = dict(
         runner=dict(n_steps=2_048, log_interval_steps=1_024),
-        sampler=dict(batch_T=16, batch_B=16),
+        sampler=dict(batch_T=16, batch_B=16, eval_n_envs=4,
+                     eval_max_steps=64, eval_max_trajectories=4),
     )
     runner, carry = build_and_train("ppo", config_overrides=overrides)
     assert int(carry.rollout_state.cum_steps) >= 2_048
