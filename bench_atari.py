@@ -103,8 +103,35 @@ def make_env():
     return SyntheticAtariEnv()
 
 
-def main():
-    import sys
+def nature_cnn_fwd_flops(h=H, w=W, k_in=K,
+                         channels=(32, 64, 64), kernels=(8, 4, 3),
+                         strides=(4, 2, 1), paddings=(0, 1, 1),
+                         fc=512, n_actions=N_ACTIONS) -> float:
+    """Analytic forward FLOPs/sample for the Nature-CNN (2·MACs).
+
+    XLA's compiled.cost_analysis() undercounts programs whose hot ops
+    sit inside lax.scan bodies (the K-update loop is counted once, not
+    K times), which made round-2's reported MFU ~100x too low — so the
+    model FLOPs here are computed from the conv arithmetic directly."""
+    flops = 0.0
+    c_in = k_in
+    for c, k, s, p in zip(channels, kernels, strides, paddings):
+        h = (h + 2 * p - k) // s + 1
+        w = (w + 2 * p - k) // s + 1
+        flops += 2.0 * h * w * c * k * k * c_in
+        c_in = c
+    feat = h * w * c_in
+    flops += 2.0 * feat * fc
+    flops += 2.0 * fc * n_actions
+    return flops
+
+
+def run_config(B: int, T: int, update_batch: int, replay_ratio: float,
+               smoke: bool = False, n_intervals: int = 10,
+               replay_size: int = 200_000):
+    """Build + time the fused Nature-CNN program at one geometry;
+    returns the result dict (shared by main() and the --sweep mode)."""
+    import time
 
     import jax
     import jax.numpy as jnp
@@ -115,17 +142,13 @@ def main():
     from rlpyt_tpu.runners.train import MinibatchRl
     from rlpyt_tpu.samplers.rollout import BatchSpec
 
-    smoke = "--smoke" in sys.argv  # CI/CPU: tiny shapes, same program
-    if smoke:
-        jax.config.update("jax_platforms", "cpu")
-    B, T = (8, 8) if smoke else (128, 32)
     agent = DqnAgent(
         ModelCls=AtariDqnModel,
         model_kwargs=dict(dueling=False, compute_dtype=jnp.bfloat16),
         eps_steps=250_000, eps_final=0.01)
-    algo = DQN(discount=0.99, batch_size=32 if smoke else 256,
+    algo = DQN(discount=0.99, batch_size=update_batch,
                min_steps_learn=0,
-               replay_size=4_000 if smoke else 200_000, replay_ratio=8.0,
+               replay_size=replay_size, replay_ratio=replay_ratio,
                target_update_interval=2_500, learning_rate=2.5e-4,
                double_dqn=True, n_step_return=1,
                frame_buffer=True, frames_per_obs=K)
@@ -142,12 +165,19 @@ def main():
     # backends/versions; degrade to flops=0 instead of raising.
     cost = cost[0] if isinstance(cost, (list, tuple)) and cost \
         else (cost or {})
-    flops_per_interval = float(cost.get("flops", 0.0))
+    xla_cost_flops = float(cost.get("flops", 0.0))
+
+    # Analytic model FLOPs per interval (see nature_cnn_fwd_flops):
+    # rollout = 1 fwd/env-step; each update = grad pass (~3x fwd) +
+    # target fwd + double-DQN online argmax fwd = ~5x fwd per sample.
+    f = nature_cnn_fwd_flops()
+    k_upd = algo.updates_per_optimize
+    flops_per_interval = runner.itrs_per_interval * (
+        T * B * f + k_upd * update_batch * 5.0 * f)
 
     carry, _, _ = runner._run_interval(carry)  # warmup (compile cached)
     jax.block_until_ready(carry.train_state.params)
 
-    n_intervals = 2 if smoke else 10
     t0 = time.perf_counter()
     for _ in range(n_intervals):
         carry, opt_infos, traj_stats = runner._run_interval(carry)
@@ -158,18 +188,56 @@ def main():
     sps = steps / dt
     achieved_tflops = flops_per_interval * n_intervals / dt / 1e12
     peak = chip_peak_tflops(jax.devices()[0])
-    print(json.dumps({
+    return {
         "metric": "env-steps/s/chip (Nature-CNN 104x80x4 uint8 DQN "
-                  f"fused rollout+learn, B={B}, replay_ratio=8, "
+                  f"fused rollout+learn, B={B}, update_batch="
+                  f"{update_batch}, replay_ratio={replay_ratio}, "
                   "frame-compressed replay, bf16)",
         "value": round(sps, 1),
         "unit": "env-steps/s",
-        "flops_per_interval": flops_per_interval,
-        "achieved_tflops": round(achieved_tflops, 2),
+        "trained_frames_per_s": round(sps * replay_ratio, 1),
+        "model_flops_per_interval": flops_per_interval,
+        "xla_cost_flops_per_interval": xla_cost_flops,
+        "achieved_model_tflops": round(achieved_tflops, 2),
         "peak_tflops": peak,
         "mfu": round(achieved_tflops / peak, 4),
         "device": str(jax.devices()[0].device_kind),
-    }))
+    }
+
+
+def main():
+    import sys
+
+    import jax
+
+    from rlpyt_tpu.utils.profiling import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+    smoke = "--smoke" in sys.argv  # CI/CPU: tiny shapes, same program
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    if "--sweep" in sys.argv:
+        # B sweep at fixed replay_ratio=8 (VERDICT r2 item #1): update
+        # batch scales with B so updates/step stays constant.
+        out = []
+        for B, ub in ((128, 256), (256, 512), (512, 1024), (1024, 2048),
+                      (2048, 4096), (4096, 8192)):
+            r = run_config(B=B, T=32, update_batch=ub, replay_ratio=8.0,
+                           n_intervals=5)
+            print(json.dumps(r), flush=True)
+            out.append(r)
+        return
+
+    if smoke:
+        print(json.dumps(run_config(B=8, T=8, update_batch=32,
+                                    replay_ratio=8.0, smoke=True,
+                                    n_intervals=2, replay_size=4_000)))
+        return
+    print(json.dumps(run_config(B=128, T=32, update_batch=256,
+                                replay_ratio=8.0)))
 
 
 if __name__ == "__main__":

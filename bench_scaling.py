@@ -67,7 +67,16 @@ def measure(dp: int, per_device_B: int = 256, T: int = 32,
 
 
 def main():
+    import os
+
+    # Honor JAX_PLATFORMS=cpu BEFORE backend init: images shipping a TPU
+    # plugin pin the platform, so the env var alone is not authoritative
+    # (same workaround as tests/conftest.py).
+    want_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
     import jax
+
+    if want_cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--dp", type=int, nargs="*", default=None,

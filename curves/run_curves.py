@@ -4,11 +4,13 @@ progress.csv for comparison against rlpyt's published curves).
 
 Runs sequentially on one chip:
 - ernbw (Rainbow-combo: Double+Dueling+PER+n-step+C51) on 5 MinAtar games
-  at the config's full 2M-step budget.
-- R2D1 on 2 MinAtar games at 1M steps (shortened; documented).
+  at the config's full 2M-step budget (freeway at 5M: its published DQN
+  plateau ~55 needs the longer budget to be comparable).
+- R2D1 on breakout + space_invaders at the full 2M-step budget.
 - PPO and A2C on MinAtar Breakout at 5M steps.
 - SAC and TD3 on HalfCheetah-v5 / Walker2d-v5 through the host farm at
-  400k steps (shortened from rlpyt's 1M; enough to place the curve).
+  400k steps (shortened from rlpyt's 1M; enough to place the curve),
+  with offline eval (Eval* columns) on.
 
 Each run writes curves/<name>/run_<seed>/progress.csv via logger_context.
 Usage: python curves/run_curves.py [--only PREFIX] [--seed N]
@@ -25,6 +27,10 @@ import traceback
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 CURVES = os.path.join(ROOT, "curves")
+
+from rlpyt_tpu.utils.profiling import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 MINATAR_GAMES = ["breakout", "space_invaders", "asterix", "freeway",
                  "seaquest"]
@@ -65,12 +71,13 @@ def run_mujoco_qpg(config_key, env_id, n_steps=400_000, seed=0):
 def sweep(seed=0):
     jobs = []
     for game in MINATAR_GAMES:
+        n = 5_000_000 if game == "freeway" else None  # see module doc
         jobs.append((f"minatar_{game}_ernbw",
-                     lambda g=game: run_minatar_dqn("ernbw", g, seed=seed)))
+                     lambda g=game, n=n: run_minatar_dqn(
+                         "ernbw", g, n_steps=n, seed=seed)))
     for game in ["breakout", "space_invaders"]:
         jobs.append((f"minatar_{game}_r2d1",
-                     lambda g=game: run_minatar_dqn(
-                         "r2d1", g, n_steps=1_000_000, seed=seed)))
+                     lambda g=game: run_minatar_dqn("r2d1", g, seed=seed)))
     for key in ["ppo", "a2c"]:
         jobs.append((f"minatar_breakout_{key}",
                      lambda k=key: run_minatar_pg(k, "breakout",

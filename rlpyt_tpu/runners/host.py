@@ -82,9 +82,14 @@ class _TrajAccum:
         return w
 
 
-def _log_window(rec, prefix: str, window: list, has_score: bool):
+def _log_window(rec, prefix: str, window: list, has_score: bool,
+                last: dict = None):
     """Tabular keys matching rlpyt's TrajInfo columns (runners/
-    minibatch_rl.py:log_diagnostics ~L250)."""
+    minibatch_rl.py:log_diagnostics ~L250).  ``last``: caller-owned
+    cache; an empty window (no episode completed this interval — e.g.
+    freeway's 2500-step episodes vs a shorter log window) re-emits the
+    previous completed window's values instead of NaN, with Trajs=0
+    still marking it empty."""
     rec(prefix + "Trajs", len(window))
     keys = [("ReturnAverage", 0, np.mean), ("ReturnStd", 0, np.std),
             ("ReturnMax", 0, np.max),
@@ -94,9 +99,16 @@ def _log_window(rec, prefix: str, window: list, has_score: bool):
     if has_score:
         keys += [("GameScoreAverage", 4, np.mean),
                  ("GameScoreMax", 4, np.max)]
-    for name, i, fn in keys:
-        rec(prefix + name,
-            float(fn([x[i] for x in window])) if window else float("nan"))
+    if window:
+        vals = {name: float(fn([x[i] for x in window]))
+                for name, i, fn in keys}
+        if last is not None:
+            last[prefix] = vals
+    else:
+        vals = (last or {}).get(
+            prefix, {name: float("nan") for name, _, _ in keys})
+    for name, _, _ in keys:
+        rec(prefix + name, vals[name])
 
 
 class HostRolloutState(NamedTuple):
@@ -417,8 +429,10 @@ class HostMinibatchRl:
         return accum.pop()
 
     def _log_eval(self, completed):
+        if not hasattr(self, "_last_window_vals"):
+            self._last_window_vals = {}
         _log_window(self.logger.record_tabular, "Eval", completed,
-                    self._has_score)
+                    self._has_score, last=self._last_window_vals)
 
     # ------------------------------------------------------------------
 
@@ -458,7 +472,10 @@ class HostMinibatchRl:
         batch_size = getattr(self.algo, "batch_size", None)
         if batch_size:
             rec("ReplayRatio", updates * batch_size / steps)
-        _log_window(rec, "", self._traj.pop(), self._has_score)
+        if not hasattr(self, "_last_window_vals"):
+            self._last_window_vals = {}
+        _log_window(rec, "", self._traj.pop(), self._has_score,
+                    last=self._last_window_vals)
         for field, val in zip(opt_info._fields, opt_info):
             rec(field, float(np.mean(np.asarray(val))))
         if eval_eps is not None:

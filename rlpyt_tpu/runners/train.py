@@ -199,24 +199,28 @@ class MinibatchRl:
         n = int(ts.completed)
         rec = self.logger.record_tabular
         rec(prefix + "Trajs", n)
+        keys = ("ReturnAverage", "ReturnStd", "ReturnMax", "ReturnMin",
+                "LengthAverage", "NonzeroRewardsAverage",
+                "DiscountedReturnAverage")
         if n > 0:
             mean = float(ts.sum_return) / n
             var = max(0.0, float(ts.sum_sq_return) / n - mean * mean)
-            rec(prefix + "ReturnAverage", mean)
-            rec(prefix + "ReturnStd", var ** 0.5)
-            rec(prefix + "ReturnMax", float(ts.max_return))
-            rec(prefix + "ReturnMin", float(ts.min_return))
-            rec(prefix + "LengthAverage", float(ts.sum_length) / n)
-            rec(prefix + "NonzeroRewardsAverage",
-                float(ts.sum_nonzero_rewards) / n)
-            rec(prefix + "DiscountedReturnAverage",
-                float(ts.sum_discounted_return) / n)
+            vals = (mean, var ** 0.5, float(ts.max_return),
+                    float(ts.min_return), float(ts.sum_length) / n,
+                    float(ts.sum_nonzero_rewards) / n,
+                    float(ts.sum_discounted_return) / n)
+            if not hasattr(self, "_last_traj_vals"):
+                self._last_traj_vals = {}
+            self._last_traj_vals[prefix] = vals
         else:
-            for k in ("ReturnAverage", "ReturnStd", "ReturnMax",
-                      "ReturnMin", "LengthAverage",
-                      "NonzeroRewardsAverage",
-                      "DiscountedReturnAverage"):
-                rec(prefix + k, float("nan"))
+            # No episode completed this window (long-episode games like
+            # freeway): carry the last completed window's stats forward
+            # (Trajs=0 still marks the window as empty) instead of
+            # polluting the CSV with NaN rows.
+            vals = getattr(self, "_last_traj_vals", {}).get(
+                prefix, (float("nan"),) * len(keys))
+        for k, v in zip(keys, vals):
+            rec(prefix + k, v)
 
     def _log_diagnostics(self, itr, cum_steps, opt_infos, traj_stats,
                          dt_interval, dt_total):

@@ -42,6 +42,19 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2,
     return {"mean_s": dt, "iters_per_s": 1.0 / dt}
 
 
+def enable_persistent_compilation_cache(
+        cache_dir: str = "/tmp/rlpyt_tpu_jax_cache") -> None:
+    """Turn on JAX's on-disk compilation cache so repeated launches of
+    the same program (curve sweeps, benches, resumed runs) skip XLA
+    re-compilation.  The fused interval programs here are large — the
+    R2D1 MinAtar interval compiles in minutes on a tunneled TPU backend
+    but replays from cache in seconds — so every multi-run harness
+    (curves/run_curves.py, bench*.py) calls this first."""
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def device_memory_stats() -> Dict[str, Any]:
     """Per-device HBM stats where the backend reports them."""
     out = {}

@@ -178,3 +178,44 @@ def test_eval_max_trajectories_cap():
     assert 5 <= completed <= 8   # one extra step may finish up to B at once
     avg_len = float(state.traj_stats.sum_length) / completed
     assert abs(avg_len - 3.0) < 1e-5
+
+
+def test_empty_window_carries_last_stats_forward():
+    """A log window with no completed episode re-emits the previous
+    window's return stats (Trajs=0 still marks it empty) instead of
+    NaN — freeway-class games with episodes longer than the log window
+    previously produced NaN rows (VERDICT r2 weak #7)."""
+    import jax.numpy as jnp
+    from rlpyt_tpu.runners.train import MinibatchRl
+    from rlpyt_tpu.samplers.rollout import TrajStats
+
+    rec = {}
+
+    class Logger:
+        def record_tabular(self, k, v):
+            rec[k] = v
+
+        def log(self, *a, **k):
+            pass
+
+    runner = MinibatchRl.__new__(MinibatchRl)
+    runner.logger = Logger()
+
+    full = TrajStats(
+        completed=jnp.asarray(4, jnp.int32),
+        sum_return=jnp.asarray(40.0), sum_sq_return=jnp.asarray(420.0),
+        sum_length=jnp.asarray(100.0),
+        sum_nonzero_rewards=jnp.asarray(12.0),
+        sum_discounted_return=jnp.asarray(30.0),
+        max_return=jnp.asarray(15.0), min_return=jnp.asarray(5.0))
+    runner._log_traj_stats("", full)
+    assert rec["Trajs"] == 4 and rec["ReturnAverage"] == 10.0
+
+    runner._log_traj_stats("", TrajStats.zeros())
+    assert rec["Trajs"] == 0
+    assert rec["ReturnAverage"] == 10.0          # carried forward
+    assert rec["ReturnMax"] == 15.0
+
+    # prefixes are independent: an Eval window with no history is NaN
+    runner._log_traj_stats("Eval", TrajStats.zeros())
+    assert np.isnan(rec["EvalReturnAverage"])

@@ -15,6 +15,7 @@ import sys
 from pathlib import Path
 
 WORKER = Path(__file__).with_name("_multihost_worker.py")
+FARM_WORKER = Path(__file__).with_name("_multihost_farm_worker.py")
 REPO = WORKER.parent.parent
 
 
@@ -24,13 +25,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_syncrl_identical_params():
+def _run_workers(worker: Path, n: int = 2, timeout: int = 540):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
-    n = 2
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), coord, str(n), str(i)],
+            [sys.executable, str(worker), coord, str(n), str(i)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=str(REPO),
             env={**os.environ,
@@ -41,7 +41,7 @@ def test_two_process_syncrl_identical_params():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -49,6 +49,11 @@ def test_two_process_syncrl_identical_params():
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {i} failed:\n{out}"
+    return outs
+
+
+def test_two_process_syncrl_identical_params():
+    outs = _run_workers(WORKER)
 
     lines = {}
     for out in outs:
@@ -64,3 +69,25 @@ def test_two_process_syncrl_identical_params():
     # Disjoint, covering host env-lane slices.
     assert lines[0]["slice"] == "0:8" and lines[1]["slice"] == "8:16"
     assert int(lines[0]["cum"]) >= 1_024
+
+
+def test_host_farm_feeds_global_mesh():
+    """The SURVEY §5.8 production topology: each process owns a
+    SharedMemVecEnv slice of the global lane batch (host_env_slice),
+    feeds its [T, B_local] samples into one dp-sharded global batch,
+    and a single global jitted DQN optimize trains over the 2-process
+    mesh.  Asserts identical final params on both hosts (gradient
+    all-reduce spans the farms) and disjoint covering lane slices."""
+    outs = _run_workers(FARM_WORKER)
+
+    lines = {}
+    for out in outs:
+        ok = [l for l in out.splitlines() if l.startswith("FARMHOST_OK")]
+        assert ok, f"no OK line in:\n{out}"
+        parts = dict(kv.split("=") for kv in ok[0].split()[1:])
+        lines[int(parts["rank"])] = parts
+
+    assert set(lines) == {0, 1}
+    assert lines[0]["digest"] == lines[1]["digest"]
+    assert lines[0]["slice"] == "0:4" and lines[1]["slice"] == "4:8"
+    assert int(lines[0]["updates"]) > 0
