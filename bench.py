@@ -35,6 +35,11 @@ def main():
     from rlpyt_tpu.models.dqn import AtariDqnModel
     from rlpyt_tpu.runners.train import MinibatchRl
     from rlpyt_tpu.samplers.rollout import BatchSpec
+    from rlpyt_tpu.utils.profiling import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
 
     B, T = 8192, 32
     agent = DqnAgent(
@@ -66,12 +71,29 @@ def main():
 
     steps = n_intervals * runner.itrs_per_interval * T * B
     sps = steps / dt
+
+    # Flagship-geometry (Nature-CNN 104x80x4) lines so the recorded BENCH
+    # carries representative-compute numbers, not only the MinAtar toy
+    # shape (VERDICT r2 item #1): the rlpyt-parity geometry (B=128,
+    # update batch 256, replay_ratio 8) and the chip-saturating one.
+    from bench_atari import run_config
+
+    nature_parity = run_config(B=128, T=32, update_batch=256,
+                               replay_ratio=8.0, n_intervals=5)
+    nature_scaled = run_config(B=2048, T=32, update_batch=4096,
+                               replay_ratio=8.0, n_intervals=5)
     print(json.dumps({
         "metric": "env-steps/s/chip (MinAtar-Breakout DQN fused "
                   f"rollout+learn, conv model, B={B}, replay_ratio=1)",
         "value": round(sps, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(sps / RLPYT_SERIAL_ATARI_STEPS_PER_S, 2),
+        "nature_cnn_parity_B128": {
+            k: nature_parity[k] for k in
+            ("value", "trained_frames_per_s", "mfu", "device")},
+        "nature_cnn_scaled_B2048": {
+            k: nature_scaled[k] for k in
+            ("value", "trained_frames_per_s", "mfu", "device")},
     }))
 
 
