@@ -13,9 +13,13 @@ ALE itself is a host C library (see envs/atari.py for the host path);
 the synthetic source isolates what this bench measures: device-side
 env-steps/s and achieved FLOP/s at Atari frame geometry.
 
-Reports env-steps/s/chip AND model-FLOP utilization: XLA's own cost
-analysis of the compiled interval program divided by wall-clock and by
-the chip's peak (by device_kind).  Prints ONE JSON line like bench.py.
+Reports env-steps/s/chip AND model-FLOP utilization (analytic FLOPs —
+see nature_cnn_fwd_flops; XLA cost_analysis undercounts scan bodies).
+Prints ONE JSON line like bench.py; ``--sweep`` prints one line per B
+geometry.  Measured 2026-08-21 (TPU v5e): 23.4k steps/s at B=128 →
+B-invariant plateau 28.9k at B=1024-2048, 18% MFU — conv-compute-bound
+at replay_ratio=8 (see BASELINE.md for the full table + ceiling
+analysis).
 
 Documented deviation from rlpyt's serial Pong config: B=128 lockstep
 env lanes (TPU-idiomatic; rlpyt steps 1 env) and update batch 256

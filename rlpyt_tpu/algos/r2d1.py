@@ -68,6 +68,7 @@ class R2D1(RlAlgorithm):
         value_scale_eps: float = 1e-3,
         frame_compress: bool = False,
         frames_per_obs: int = 4,
+        mask_after_done: bool = False,
     ):
         self.discount = discount
         self.batch_b = batch_b
@@ -90,6 +91,16 @@ class R2D1(RlAlgorithm):
         self.value_scale_eps = value_scale_eps
         self.frame_compress = frame_compress
         self.frames_per_obs = frames_per_obs
+        # rlpyt masks every step after the first done in the training
+        # slice (algos/dqn/r2d1.py valid_from_done) because its LSTM
+        # state is NOT reset mid-window, so post-done context is wrong.
+        # Here the model resets the recurrence at in-window episode
+        # starts (done_shifted → LstmCore per-step reset), making
+        # post-done steps fully trainable — on short-episode envs
+        # (MinAtar: ~16-step episodes vs 40-step slices) rlpyt's mask
+        # discards most of the batch.  Default trains all steps;
+        # set mask_after_done=True for strict reference behavior.
+        self.mask_after_done = mask_after_done
 
     # ------------------------------------------------------------------
 
@@ -237,7 +248,11 @@ class R2D1(RlAlgorithm):
             eps)
         delta = jax.lax.stop_gradient(y) - q
 
-        valid = valid_from_done(batch.done[wT:wT + T])  # [T, b]
+        if self.mask_after_done:
+            valid = valid_from_done(batch.done[wT:wT + T])  # [T, b]
+        else:
+            valid = jnp.ones_like(batch.done[wT:wT + T],
+                                  dtype=jnp.float32)
         if self.delta_clip is not None:
             losses = huber_loss(delta, self.delta_clip)
         else:

@@ -405,8 +405,15 @@ class HostMinibatchRl:
         carry = self.agent.init_carry(B)
         accum = _TrajAccum(B, discount=self._traj.discount)
         max_T = max(1, self.eval_max_steps // B)
+        # Dedicated eval key stream (seed+1, folded per eval) so offline
+        # eval NEVER perturbs the training trajectory — with/without
+        # eval, collection draws the identical action keys (same
+        # discipline as runners/train.py's device eval).
+        self._n_evals = getattr(self, "_n_evals", 0) + 1
+        k_eval = jax.random.fold_in(jax.random.key(self.seed + 1),
+                                    self._n_evals)
         for _ in range(max_T):
-            self._k_agent, k = jax.random.split(self._k_agent)
+            k_eval, k = jax.random.split(k_eval)
             astep, carry = self._eval_step_fn(
                 params, k, jax.tree.map(jnp.asarray, obs),
                 jnp.asarray(prev_action),

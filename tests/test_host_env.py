@@ -123,3 +123,45 @@ def test_host_dqn_learns_cartpole():
     vec.close()
     vec2.close()
     assert rets.mean() > 100, f"host DQN failed: {rets.mean()}"
+
+
+def test_eval_does_not_perturb_training_stream():
+    """Offline eval must not consume the actor's RNG stream: a host run
+    with eval wired produces bitwise-identical training params to the
+    same run without eval (regression: round-3's eval wiring initially
+    split keys from _k_agent, silently changing every post-eval
+    exploration draw)."""
+    import jax
+    import numpy as np
+
+    from rlpyt_tpu.agents.dqn import DqnAgent
+    from rlpyt_tpu.algos.dqn import DQN
+    from rlpyt_tpu.envs.host import GymEnv, SerialVecEnv
+    from rlpyt_tpu.models.dqn import DqnMlpModel
+    from rlpyt_tpu.runners.host import HostMinibatchRl
+
+    def run(with_eval):
+        vec = SerialVecEnv([lambda: GymEnv("CartPole-v1")] * 4, seed=3)
+        eval_vec = (SerialVecEnv([lambda: GymEnv("CartPole-v1")] * 2,
+                                 seed=99) if with_eval else None)
+        agent = DqnAgent(ModelCls=DqnMlpModel,
+                         model_kwargs={"hidden_sizes": (32,)},
+                         eps_steps=1_000)
+        algo = DQN(batch_size=32, min_steps_learn=64, replay_size=2_048,
+                   replay_ratio=1.0, learning_rate=1e-3)
+        runner = HostMinibatchRl(algo=algo, agent=agent, vec_env=vec,
+                                 batch_T=8, n_steps=512, seed=5,
+                                 log_interval_steps=128,
+                                 eval_vec_env=eval_vec,
+                                 eval_max_steps=32,
+                                 eval_max_trajectories=2)
+        ts, _ = runner.train()
+        vec.close()
+        if eval_vec is not None:
+            eval_vec.close()
+        return ts.params
+
+    p_no, p_yes = run(False), run(True)
+    for a, b in zip(jax.tree_util.tree_leaves(p_no),
+                    jax.tree_util.tree_leaves(p_yes)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
