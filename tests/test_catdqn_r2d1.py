@@ -78,3 +78,50 @@ def test_r2d1_learns_cartpole():
     carry = runner.train()
     avg = eval_return(runner, carry)
     assert avg > 100, f"R2D1 failed on CartPole: {avg}"
+
+
+def test_r2d1_mask_after_done_flag():
+    """Default trains ALL window steps (the model resets the recurrence
+    at in-window episode starts); mask_after_done=True restores rlpyt's
+    after-first-done masking — the two must differ exactly on a batch
+    whose training slice contains a done."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rlpyt_tpu.replay.sequence import SequenceSamples
+
+    agent = R2d1Agent(ModelCls=R2d1MlpModel, lstm_size=8,
+                      model_kwargs=dict(hidden_sizes=(8,)))
+    env = CartPole()
+    agent.initialize(env.spaces)
+    params = agent.init(jax.random.key(0),
+                        jnp.zeros((1, 4), jnp.float32))
+
+    wT, T, n, b = 2, 6, 1, 3
+    W = wT + T + n
+    done = jnp.zeros((W, b), bool).at[wT + 2, 0].set(True)  # mid-slice
+    batch = SequenceSamples(
+        observation=jnp.ones((W, b, 4), jnp.float32),
+        action=jnp.zeros((W, b), jnp.int32),
+        reward=jnp.ones((W, b), jnp.float32),
+        done=done,
+        prev_action=jnp.zeros((W, b), jnp.int32),
+        prev_reward=jnp.zeros((W, b), jnp.float32),
+        init_rnn_state=(jnp.zeros((b, 8)), jnp.zeros((b, 8))),
+        is_weights=jnp.ones((b,)),
+        slots=(jnp.zeros((b,), jnp.int32), jnp.arange(b, dtype=jnp.int32)),
+    )
+
+    def loss_of(mask):
+        algo = R2D1(batch_b=b, batch_T=T, warmup_T=wT, n_step_return=n,
+                    mask_after_done=mask)
+        algo.agent = agent
+        return algo.loss(params, params, batch)
+
+    (l_all, p_all) = loss_of(False)
+    (l_masked, p_masked) = loss_of(True)
+    assert np.isfinite(float(l_all)) and np.isfinite(float(l_masked))
+    # masking removes post-done steps from both the loss and the
+    # priority statistics of lane 0, so the outputs must differ
+    assert not np.allclose(np.asarray(p_all), np.asarray(p_masked))
