@@ -160,7 +160,7 @@ class _EventWorkerSync:
 
 
 def _worker(env_fns, lo, hi, shm, info_shm, sync, seed,
-            cpu: Optional[int]):
+            cpu: Optional[int], ready_spec=None):
     """(rlpyt/samplers/parallel/worker.py:sampling_process ~L10): own a
     slice [lo, hi) of envs, loop on the step barrier, auto-reset on
     traj_done.  Envs exposing ``traj_done`` in info (episodic-lives
@@ -179,6 +179,11 @@ def _worker(env_fns, lo, hi, shm, info_shm, sync, seed,
         spec.view() for spec in (act_spec, rew_spec, done_spec,
                                  timeout_spec))
     info_np = {k: spec.view() for k, spec in info_shm.items()}
+    if ready_spec is not None:
+        # startup handshake: the master polls this instead of blocking
+        # on the step barrier, so a worker that dies during init (e.g.
+        # spawn re-import failure) raises there instead of deadlocking.
+        ready_spec.view()[lo:hi] = True
     while True:
         c = sync.wait()
         if c == CMD_CLOSE:
@@ -300,17 +305,42 @@ class SharedMemVecEnv:
                             for a, o in pairs]
         self.sync_impl = "c" if use_c else "events"
 
+        ready_spec = _ShmSpec((self.B,), np.bool_, ctx)
+        self._ready = ready_spec.view()
         self._procs = []
         for w in range(W):
             cpu = cpus[w % len(cpus)] if cpus else None
             p = ctx.Process(
                 target=_worker,
                 args=(list(env_fns), w * per, (w + 1) * per, shm,
-                      info_shm, worker_syncs[w], seed, cpu),
+                      info_shm, worker_syncs[w], seed, cpu, ready_spec),
                 daemon=True)
             p.start()
             self._procs.append(p)
         self.closed = False
+        self._await_workers(timeout=120.0)
+
+    def _await_workers(self, timeout: float):
+        """Fail fast instead of deadlocking on the step barrier when a
+        worker dies during startup (rlpyt's known failure mode: a
+        crashed worker hangs the barrier forever, SURVEY §5.3)."""
+        import time as _time
+        deadline = _time.monotonic() + timeout
+        while not bool(self._ready.all()):
+            dead = [p for p in self._procs if not p.is_alive()]
+            if dead:
+                self.closed = True  # workers gone; skip barrier close
+                raise RuntimeError(
+                    f"{len(dead)} farm worker(s) died during startup "
+                    f"(exitcodes {[p.exitcode for p in dead]}). With "
+                    "gym-id env_fns the farm uses the 'spawn' start "
+                    "method, which cannot re-import an interactive or "
+                    "stdin __main__ — run from a file, or pass env "
+                    "callables (fork), or start_method='fork'.")
+            if _time.monotonic() > deadline:
+                raise RuntimeError("farm workers not ready within "
+                                   f"{timeout}s")
+            _time.sleep(0.02)
 
     def _signal_and_wait(self, cmd: int):
         self._sync.signal(cmd)

@@ -24,3 +24,26 @@ def test_spawn_farm_matches_serial():
         np.testing.assert_array_equal(d1, d2)
     serial.close()
     farm.close()
+
+
+def test_dead_worker_raises_not_hangs():
+    """A worker that dies during startup must raise at construction
+    (with the spawn/__main__ hint), not deadlock the step barrier —
+    rlpyt's crashed-worker-hangs-the-barrier failure mode, SURVEY §5.3."""
+    import pytest
+
+    from rlpyt_tpu.envs.host import SharedMemVecEnv
+
+    import os
+
+    parent = os.getpid()
+
+    def bad_env():
+        # builds fine in the master's probe, dies in every worker
+        if os.getpid() != parent:
+            raise RuntimeError("boom in worker init")
+        from rlpyt_tpu.envs.host import GymEnv
+        return GymEnv("CartPole-v1")
+
+    with pytest.raises(RuntimeError, match="died during startup"):
+        SharedMemVecEnv([bad_env] * 2, n_workers=2, seed=0)
