@@ -219,3 +219,47 @@ def test_empty_window_carries_last_stats_forward():
     # prefixes are independent: an Eval window with no history is NaN
     runner._log_traj_stats("Eval", TrajStats.zeros())
     assert np.isnan(rec["EvalReturnAverage"])
+
+
+def test_eval_runner_aliases_end_to_end():
+    """The reference's *RlEval class names (MinibatchRlEval, SyncRlEval,
+    AsyncRlEval) run end-to-end with eval wired and reject a missing
+    eval_env (rlpyt runners/minibatch_rl.py ~L300, sync_rl.py,
+    async_rl.py Eval variants)."""
+    import jax
+    import pytest
+
+    from rlpyt_tpu.agents.dqn import DqnAgent
+    from rlpyt_tpu.algos.dqn import DQN
+    from rlpyt_tpu.envs.classic import CartPole
+    from rlpyt_tpu.models.dqn import DqnMlpModel
+    from rlpyt_tpu.parallel.mesh import MeshSpec
+    from rlpyt_tpu.runners.async_rl import AsyncRlEval
+    from rlpyt_tpu.runners.sync import SyncRlEval
+    from rlpyt_tpu.runners.train import MinibatchRlEval
+    from rlpyt_tpu.samplers.rollout import BatchSpec
+
+    def make(cls, **kw):
+        agent = DqnAgent(ModelCls=DqnMlpModel,
+                         model_kwargs=dict(hidden_sizes=(16,)),
+                         eps_steps=500)
+        algo = DQN(batch_size=32, min_steps_learn=64, replay_size=1_024,
+                   replay_ratio=1.0, learning_rate=1e-3)
+        return cls(algo=algo, agent=agent, env=CartPole(),
+                   batch_spec=BatchSpec(T=8, B=8), n_steps=256,
+                   seed=0, log_interval_steps=128,
+                   max_decorrelation_steps=0, **kw)
+
+    for cls in (MinibatchRlEval, SyncRlEval, AsyncRlEval):
+        with pytest.raises(ValueError):
+            make(cls)
+
+    eval_kw = dict(eval_env=CartPole(), eval_n_envs=4,
+                   eval_max_steps=32, eval_max_trajectories=2)
+    carry = make(MinibatchRlEval, **eval_kw).train()
+    assert int(carry.rollout_state.cum_steps) >= 256
+    carry = make(AsyncRlEval, pipeline_depth=2, **eval_kw).train()
+    assert int(carry.rollout_state.cum_steps) >= 256
+    if len(jax.devices()) >= 2:
+        carry = make(SyncRlEval, mesh=MeshSpec(dp=2), **eval_kw).train()
+        assert int(carry.rollout_state.cum_steps) >= 256
