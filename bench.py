@@ -88,6 +88,12 @@ def main():
         "value": round(sps, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(sps / RLPYT_SERIAL_ATARI_STEPS_PER_S, 2),
+        "vs_baseline_basis": "literature ESTIMATE 2000 steps/s (rlpyt "
+                             "serial Atari DQN on a GPU server; the "
+                             "reference mount is empty so rlpyt itself "
+                             "cannot be measured here — see BASELINE.md "
+                             "for the measured serial-CPU stand-in "
+                             "floor of 4-30 steps/s)",
         "nature_cnn_parity_B128": {
             k: nature_parity[k] for k in
             ("value", "trained_frames_per_s", "mfu", "device")},

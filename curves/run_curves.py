@@ -6,7 +6,8 @@ Runs sequentially on one chip:
 - ernbw (Rainbow-combo: Double+Dueling+PER+n-step+C51) on 5 MinAtar games
   at the config's full 2M-step budget (freeway at 5M: its published DQN
   plateau ~55 needs the longer budget to be comparable).
-- R2D1 on breakout + space_invaders at the full 2M-step budget.
+- R2D1 on breakout + space_invaders at 10M steps (the recurrent
+  seq-PER path learns slower per env step; see the comment in sweep()).
 - PPO and A2C on MinAtar Breakout at 5M steps.
 - SAC and TD3 on HalfCheetah-v5 / Walker2d-v5 through the host farm at
   400k steps (shortened from rlpyt's 1M; enough to place the curve),

@@ -58,6 +58,7 @@ class DQN(RlAlgorithm):
         pri_beta: float = 0.4,
         frame_buffer: bool = False,
         frames_per_obs: int = 4,
+        optim: str = "adam",
         optim_kwargs: dict | None = None,
     ):
         self.discount = discount
@@ -77,6 +78,7 @@ class DQN(RlAlgorithm):
         self.pri_beta = pri_beta
         self.frame_buffer = frame_buffer
         self.frames_per_obs = frames_per_obs
+        self.optim = optim
         self.optim_kwargs = dict(optim_kwargs or {})
 
     # ------------------------------------------------------------------
@@ -88,9 +90,14 @@ class DQN(RlAlgorithm):
         self.batch_spec = batch_spec
         self.updates_per_optimize = max(
             1, int(self.replay_ratio * batch_spec.size / self.batch_size))
+        # Adam default: rlpyt's eps=0.01/batch_size; RMSprop (the
+        # published MinAtar-DQN optimizer) takes its eps/decay/centered
+        # from optim_kwargs.
+        okw = dict(self.optim_kwargs)
+        if self.optim == "adam":
+            okw.setdefault("eps", 0.01 / self.batch_size)
         self.optimizer = make_optimizer(
-            self.learning_rate, self.clip_grad_norm, "adam",
-            eps=0.01 / self.batch_size, **self.optim_kwargs)
+            self.learning_rate, self.clip_grad_norm, self.optim, **okw)
 
         params = agent.init(key, example_obs)
         from rlpyt_tpu.struct import tree_copy

@@ -338,6 +338,12 @@ class SharedMemVecEnv:
                     "stdin __main__ — run from a file, or pass env "
                     "callables (fork), or start_method='fork'.")
             if _time.monotonic() > deadline:
+                # Mark closed before raising so the destructor's close()
+                # does not signal the step barrier at wedged-but-alive
+                # workers (which could hang interpreter shutdown).
+                self.closed = True
+                for p in self._procs:
+                    p.terminate()
                 raise RuntimeError("farm workers not ready within "
                                    f"{timeout}s")
             _time.sleep(0.02)

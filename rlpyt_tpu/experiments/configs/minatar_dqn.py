@@ -42,7 +42,25 @@ config = dict(
 )
 configs["dqn"] = config
 
+# Published MinAtar-DQN settings (Young & Tian arXiv:1903.03176 §4:
+# centered RMSprop lr 2.5e-4 / decay 0.95 / eps 0.01, batch 32, uniform
+# 100k replay, one batch-32 update per env step, target refresh 1k
+# updates, n-step 1, eps 1->0.1 over 100k frames, learn after 5k) — the
+# control variant for per-game band checks (VERDICT r3 item #1: our
+# ernbw combo plateaus below the published Freeway band).
 config = copy.deepcopy(config)
+config["algo"].update(
+    batch_size=32, replay_size=100_000,
+    # replay_ratio=32 <=> one batch-32 update per env step
+    # (updates_per_optimize = ratio * T*B / batch_size).
+    replay_ratio=32.0,
+    target_update_interval=1_000, n_step_return=1, learning_rate=2.5e-4,
+    double_dqn=False, prioritized_replay=False,
+    optim="rmsprop", optim_kwargs=dict(decay=0.95, eps=0.01,
+                                       centered=True))
+configs["dqn_pub"] = config
+
+config = copy.deepcopy(configs["dqn"])
 config["model"]["dueling"] = True
 config["algo"].update(prioritized_replay=True, pri_alpha=0.5,
                       pri_beta=0.4)
@@ -64,6 +82,11 @@ config["algo"] = dict(
     target_update_interval=1_000, n_step_return=5, learning_rate=3e-4,
     double_dqn=True, prioritized_replay=True, pri_alpha=0.6,
     pri_beta=0.9, pri_eta=0.9, input_priorities=True)
+# Reference-default parity note: rlpyt's R2D1 masks the loss after the
+# first done in each window (valid_from_done); ours trains all steps by
+# default because LstmCore resets carry at dones and the n-step return
+# stops at the first done (documented deviation, algos/r2d1.py:71).
+# For a strict-parity run add: config["algo"]["mask_after_done"] = True.
 # sampler batch_T must be a multiple of the sequence-replay rnn-state
 # store interval (= warmup_T, replay/sequence.py:70); rlpyt's R2D1
 # sampler used batch_T=40 for the same reason (store-state stride 40).

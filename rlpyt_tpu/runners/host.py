@@ -369,11 +369,7 @@ class HostMinibatchRl:
             # the sample schema matches the non-alternating path — an ALE
             # farm under PairedVecEnv must not lose AtariTrajInfo fields
             # (rlpyt AlternatingSampler keeps the same Samples schema).
-            env_info={"timeout": tb("to"),
-                      **{k_: jnp.asarray(np.stack(
-                             [np.concatenate([a, b]) for a, b in
-                              zip(einfos[0][k_], einfos[1][k_])]))
-                         for k_ in einfos[0]}},
+            env_info={"timeout": tb("to"), **self._merge_einfos(einfos)},
         )
         carry = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
                              self._alt_carry[0], self._alt_carry[1])
@@ -388,6 +384,28 @@ class HostMinibatchRl:
         return samples, rollout_state
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _merge_einfos(einfos):
+        """Merge the two halves' env_info records into full-B arrays.
+        The halves step the same EnvCls, so their info schemas must
+        agree — assert it (a key present in only one half would
+        otherwise be silently dropped or raise a bare KeyError, and
+        zip() would silently truncate on length divergence)."""
+        if set(einfos[0]) != set(einfos[1]):
+            raise ValueError(
+                "alternating halves produced different env_info schemas: "
+                f"{sorted(einfos[0])} vs {sorted(einfos[1])}")
+        out = {}
+        for k in einfos[0]:
+            a_list, b_list = einfos[0][k], einfos[1][k]
+            if len(a_list) != len(b_list):
+                raise ValueError(
+                    f"alternating halves recorded env_info[{k!r}] at "
+                    f"different lengths: {len(a_list)} vs {len(b_list)}")
+            out[k] = jnp.asarray(np.stack(
+                [np.concatenate([a, b]) for a, b in zip(a_list, b_list)]))
+        return out
 
     def _evaluate(self, params):
         """Offline evaluation on ``eval_vec_env`` (reference:
