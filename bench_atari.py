@@ -130,14 +130,10 @@ def nature_cnn_fwd_flops(h=H, w=W, k_in=K,
     return flops
 
 
-def run_config(B: int, T: int, update_batch: int, replay_ratio: float,
-               smoke: bool = False, n_intervals: int = 10,
-               replay_size: int = 200_000):
-    """Build + time the fused Nature-CNN program at one geometry;
-    returns the result dict (shared by main() and the --sweep mode)."""
-    import time
-
-    import jax
+def build_runner(B: int, T: int, update_batch: int, replay_ratio: float,
+                 replay_size: int = 200_000):
+    """Build the fused Nature-CNN flagship program at one geometry
+    (shared by run_config and bench_profile.py)."""
     import jax.numpy as jnp
 
     from rlpyt_tpu.agents.dqn import DqnAgent
@@ -161,6 +157,20 @@ def run_config(B: int, T: int, update_batch: int, replay_ratio: float,
                          n_steps=20 * T * B, seed=0,
                          log_interval_steps=T * B,
                          max_decorrelation_steps=0)
+    return runner
+
+
+def run_config(B: int, T: int, update_batch: int, replay_ratio: float,
+               smoke: bool = False, n_intervals: int = 10,
+               replay_size: int = 200_000):
+    """Build + time the fused Nature-CNN program at one geometry;
+    returns the result dict (shared by main() and the --sweep mode)."""
+    import time
+
+    import jax
+
+    runner = build_runner(B, T, update_batch, replay_ratio, replay_size)
+    algo = runner.algo
     carry = runner.startup()
 
     compiled = runner._run_interval.lower(carry).compile()

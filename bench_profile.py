@@ -1,0 +1,239 @@
+"""Profile the Nature-CNN flagship program (VERDICT r3 items #2/#8:
+attribute the gap between 18% MFU and the ~44% structural ceiling with
+a real trace instead of assertion, and validate the analytic
+5x-fwd-per-sample MFU denominator).
+
+Two instruments:
+
+1. **Component timing** — the update pipeline re-jitted piece by piece
+   (replay sample/frame-gather, loss forward, value_and_grad, the full
+   update incl. optimizer + priorities, rollout-only) so each stage's
+   share of the interval is a measured number.
+2. **Device trace** — ``jax.profiler`` trace of timed intervals,
+   aggregated per HLO op name into a category table (convolutions,
+   fusions, copies/transposes, gathers/scatters, ...).  The raw
+   .trace.json.gz stays in /tmp; the aggregate goes to
+   ``profiles/flagship_profile.json`` (committed).
+
+Usage: python bench_profile.py [--B 2048] [--smoke]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import time
+from collections import defaultdict
+
+
+def time_it(fn, *args, iters=20, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def parse_trace(logdir):
+    """Aggregate device-side op durations from the Perfetto JSON trace
+    jax.profiler writes (one 'X' event per HLO op execution)."""
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not paths:
+        return None
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    proc_name = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc_name[e["pid"]] = e.get("args", {}).get("name", "")
+    device_pids = {pid for pid, n in proc_name.items()
+                   if "TPU" in n or "/device" in n.lower() or "GPU" in n}
+    if not device_pids:  # CPU backend: one '/host:CPU' process
+        device_pids = set(proc_name)
+    per_op = defaultdict(float)
+    t_min, t_max = float("inf"), 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur = float(e.get("dur", 0.0))
+        per_op[e.get("name", "?")] += dur
+        ts = float(e.get("ts", 0.0))
+        t_min = min(t_min, ts)
+        t_max = max(t_max, ts + dur)
+    if not per_op:
+        return None
+    total = sum(per_op.values())
+    wall = max(t_max - t_min, 1e-9)
+
+    def bucket(name):
+        n = name.lower()
+        for key in ("convolution", "dot", "cumsum", "sort", "copy",
+                    "transpose", "gather", "scatter", "reduce",
+                    "dynamic-update", "dynamic_update", "dynamic-slice",
+                    "dynamic_slice", "select", "iota", "broadcast",
+                    "all-reduce", "rng", "fusion"):
+            if key in n:
+                return key
+        return "other"
+
+    cats = defaultdict(float)
+    for name, dur in per_op.items():
+        cats[bucket(name)] += dur
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:30]
+    return {
+        "trace_file": paths[-1],
+        "device_busy_us": total,
+        "device_span_us": wall,
+        "device_busy_frac_of_span": round(total / wall, 4),
+        "categories_us": {k: round(v, 1) for k, v in
+                          sorted(cats.items(), key=lambda kv: -kv[1])},
+        "categories_pct": {k: round(100.0 * v / total, 2) for k, v in
+                           sorted(cats.items(), key=lambda kv: -kv[1])},
+        "top_ops": [{"name": n, "us": round(d, 1),
+                     "pct": round(100.0 * d / total, 2)}
+                    for n, d in top],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=2048)
+    ap.add_argument("--T", type=int, default=32)
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--trace-dir", default="/tmp/rlpyt_tpu_trace")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rlpyt_tpu.utils.profiling import (
+        enable_persistent_compilation_cache,
+        trace,
+    )
+
+    enable_persistent_compilation_cache()
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+        args.B, args.T = 8, 8
+
+    from bench_atari import build_runner, nature_cnn_fwd_flops
+
+    B, T = args.B, args.T
+    ub = 2 * B
+    runner = build_runner(B=B, T=T, update_batch=ub, replay_ratio=8.0)
+    algo = runner.algo
+    carry = runner.startup()
+    # Fill the replay ring once so sampled gathers hit realistic data.
+    carry, _, _ = runner._run_interval(carry)
+    jax.block_until_ready(carry.train_state.params)
+
+    ts, rs = carry.train_state, carry.replay_state
+    key = jax.random.key(123)
+
+    # --- component timings ------------------------------------------------
+    sample = jax.jit(lambda rs, k: algo.replay.sample(rs, k, ub))
+    batch = jax.block_until_ready(sample(rs, key))
+    loss_fwd = jax.jit(lambda p, tp, b: algo.loss(p, tp, b)[0])
+    vgrad = jax.jit(lambda p, tp, b: jax.value_and_grad(
+        algo.loss, has_aux=True)(p, tp, b))
+    one_update = jax.jit(lambda ts, rs, k: algo._one_update(ts, rs, k))
+    rollout = jax.jit(lambda p, st: runner.collector.collect(p, st))
+    # Forward-only model pass at the update batch (the unit of the
+    # analytic denominator: one "fwd").
+    obs = batch.agent_inputs[0]
+    q_fwd = jax.jit(lambda p, o: algo.agent.q(p, o, *batch.agent_inputs[1:]))
+
+    comp = {}
+    comp["replay_sample_ms"] = time_it(sample, rs, key) * 1e3
+    comp["q_fwd_update_batch_ms"] = time_it(q_fwd, ts.params, obs) * 1e3
+    comp["loss_fwd_ms"] = time_it(loss_fwd, ts.params, ts.target_params,
+                                  batch) * 1e3
+    comp["value_and_grad_ms"] = time_it(vgrad, ts.params, ts.target_params,
+                                        batch) * 1e3
+    comp["one_update_ms"] = time_it(one_update, ts, rs, key) * 1e3
+    comp["rollout_ms"] = time_it(rollout, ts.params,
+                                 carry.rollout_state) * 1e3
+
+    # --- whole-interval timing -------------------------------------------
+    n_int = 1 if args.smoke else 3
+    t0 = time.perf_counter()
+    for _ in range(n_int):
+        carry, _, _ = runner._run_interval(carry)
+    jax.block_until_ready(carry.train_state.params)
+    interval_s = (time.perf_counter() - t0) / n_int
+    k_upd = algo.updates_per_optimize
+    itrs = runner.itrs_per_interval
+
+    # --- trace capture ----------------------------------------------------
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with trace(args.trace_dir):
+        carry, _, _ = runner._run_interval(carry)
+        jax.block_until_ready(carry.train_state.params)
+    trace_summary = parse_trace(args.trace_dir)
+
+    # --- reconciliation of the analytic denominator (VERDICT #8) ---------
+    f = nature_cnn_fwd_flops()
+    # measured per-update cost in fwd-equivalents at the update batch:
+    fwd = comp["q_fwd_update_batch_ms"]
+    recon = {
+        "analytic_fwd_equivalents_per_update": 5.0,
+        "measured_loss_fwd_in_fwd_units": round(
+            comp["loss_fwd_ms"] / fwd, 2),
+        "measured_value_and_grad_in_fwd_units": round(
+            comp["value_and_grad_ms"] / fwd, 2),
+        "measured_one_update_in_fwd_units": round(
+            comp["one_update_ms"] / fwd, 2),
+        "q_fwd_achieved_tflops": round(
+            ub * f / (fwd * 1e-3) / 1e12, 2),
+        "note": "loss fwd = 3 stop-grad/grad fwd passes (online, "
+                "target, double-DQN online-next); grad adds ~2 fwd of "
+                "bwd; one_update adds replay gather + optimizer + "
+                "priority scatter.",
+    }
+
+    # accounting of the interval from components:
+    acct = {
+        "interval_s": round(interval_s, 4),
+        "itrs_per_interval": itrs,
+        "updates_per_itr": k_upd,
+        "per_itr_ms": round(interval_s / itrs * 1e3, 2),
+        "rollout_share_pct": round(
+            100 * comp["rollout_ms"] * itrs / (interval_s * 1e3), 1),
+        "updates_share_pct_est": round(
+            100 * comp["one_update_ms"] * k_upd * itrs
+            / (interval_s * 1e3), 1),
+        "env_steps_per_s": round(itrs * T * B / interval_s, 1),
+        "mfu": round((itrs * (T * B * f + k_upd * ub * 5.0 * f))
+                     / interval_s / 1e12 / 197.0, 4),
+    }
+
+    out = {
+        "geometry": {"B": B, "T": T, "update_batch": ub,
+                     "replay_ratio": 8.0,
+                     "updates_per_optimize": k_upd},
+        "components_ms": {k: round(v, 3) for k, v in comp.items()},
+        "interval_accounting": acct,
+        "fwd_unit_reconciliation": recon,
+        "trace": trace_summary,
+        "device": str(jax.devices()[0].device_kind),
+    }
+    print(json.dumps(out, indent=1))
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "profiles"), exist_ok=True)
+    tag = "smoke" if args.smoke else f"B{B}"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "profiles", f"flagship_profile_{tag}.json"),
+              "w") as fjson:
+        json.dump(out, fjson, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,16 +22,55 @@ class Conv2dModel(nn.Module):
     paddings: Optional[Sequence[int]] = None
     nonlinearity: Callable = nn.relu
     compute_dtype: jnp.dtype = jnp.float32
+    # Fold the first layer's stride-s blocks into channels when the
+    # geometry allows (k % s == 0, p == 0, H,W % s == 0): a stride-s kxk
+    # conv over C channels is EXACTLY a stride-1 (k/s)x(k/s) conv over
+    # s*s*C channels of the space-to-depth input.  On TPU this lifts the
+    # first layer's input-feature dim from C (e.g. 4 stacked frames —
+    # a few % of the 128-wide MXU contraction lanes) to s*s*C (64),
+    # where the MXU runs at full tilt.  Same FLOPs, same fan-in (so the
+    # default lecun init distribution is unchanged), same math.  The
+    # NCHW→blocked permute happens in the INPUT dtype (uint8 frames stay
+    # uint8) as one combined transpose replacing the NCHW→NHWC one, so
+    # the layout change costs half the plain path's relayout traffic
+    # rather than adding a bf16 transpose per pass.
+    space_to_depth: bool = False
+    # Multiply inputs by this after the layout change, in compute dtype
+    # (lets callers keep obs uint8 through the transpose and fold the
+    # 1/255 scaling into the conv's fused epilogue).
+    input_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
         """x: [B, C, H, W] → [B, C_out, H', W'] (NCHW at the API surface)."""
         paddings = self.paddings or [0] * len(self.channels)
-        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.compute_dtype)  # NHWC
-        for ch, k, s, p in zip(self.channels, self.kernel_sizes,
-                               self.strides, paddings):
-            x = nn.Conv(ch, (k, k), strides=(s, s),
-                        padding=[(p, p), (p, p)], dtype=self.compute_dtype)(x)
+        k0, s0, p0 = (self.kernel_sizes[0], self.strides[0], paddings[0])
+        use_s2d = (self.space_to_depth and s0 > 1 and k0 % s0 == 0
+                   and p0 == 0 and x.shape[2] % s0 == 0
+                   and x.shape[3] % s0 == 0)
+        if use_s2d:
+            B, C, H, W = x.shape
+            x = x.reshape(B, C, H // s0, s0, W // s0, s0)
+            # Channel order (C, dy, dx): keeps dx (contiguous source
+            # bytes) minor so the u8 relayout copies 4-byte runs instead
+            # of single strided bytes.  Channel order is free to choose —
+            # the first-layer kernel is learned in whatever order we fix.
+            x = x.transpose(0, 2, 4, 1, 3, 5)    # [B, Hb, Wb, C, dy, dx]
+            x = x.reshape(B, H // s0, W // s0, s0 * s0 * C)
+        else:
+            x = jnp.transpose(x, (0, 2, 3, 1))   # NHWC
+        x = x.astype(self.compute_dtype)
+        if self.input_scale != 1.0:
+            x = x * jnp.asarray(self.input_scale, self.compute_dtype)
+        for i, (ch, k, s, p) in enumerate(zip(
+                self.channels, self.kernel_sizes, self.strides, paddings)):
+            if i == 0 and use_s2d:
+                x = nn.Conv(ch, (k // s, k // s), strides=(1, 1),
+                            padding="VALID", dtype=self.compute_dtype)(x)
+            else:
+                x = nn.Conv(ch, (k, k), strides=(s, s),
+                            padding=[(p, p), (p, p)],
+                            dtype=self.compute_dtype)(x)
             x = self.nonlinearity(x)
         return jnp.transpose(x, (0, 3, 1, 2))
 

@@ -79,14 +79,18 @@ class AtariDqnModel(nn.Module):
     paddings: Sequence[int] = ATARI_PADDINGS
     obs_divisor: float = 255.0  # 1.0 for binary MinAtar planes
     compute_dtype: jnp.dtype = jnp.float32
+    space_to_depth: bool = True  # exact-math MXU-friendly first conv
 
     @nn.compact
     def __call__(self, observation, prev_action=None, prev_reward=None):
         lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
         img = observation.reshape((T * B,) + img_shape)
-        img = img.astype(self.compute_dtype) * (1.0 / self.obs_divisor)
+        # uint8 stays uint8 through the layout change; scaling folds
+        # into the first conv's fused input (models/conv.py).
         x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
-                        self.paddings, compute_dtype=self.compute_dtype)(img)
+                        self.paddings, compute_dtype=self.compute_dtype,
+                        space_to_depth=self.space_to_depth,
+                        input_scale=1.0 / self.obs_divisor)(img)
         x = x.reshape(T * B, -1)
         if self.dueling:
             q = DuelingHead(self.fc_sizes, self.n_actions,
@@ -111,14 +115,18 @@ class AtariCatDqnModel(nn.Module):
     paddings: Sequence[int] = ATARI_PADDINGS
     obs_divisor: float = 255.0  # 1.0 for binary MinAtar planes
     compute_dtype: jnp.dtype = jnp.float32
+    space_to_depth: bool = True  # exact-math MXU-friendly first conv
 
     @nn.compact
     def __call__(self, observation, prev_action=None, prev_reward=None):
         lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
         img = observation.reshape((T * B,) + img_shape)
-        img = img.astype(self.compute_dtype) * (1.0 / self.obs_divisor)
+        # uint8 stays uint8 through the layout change; scaling folds
+        # into the first conv's fused input (models/conv.py).
         x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
-                        self.paddings, compute_dtype=self.compute_dtype)(img)
+                        self.paddings, compute_dtype=self.compute_dtype,
+                        space_to_depth=self.space_to_depth,
+                        input_scale=1.0 / self.obs_divisor)(img)
         x = x.reshape(T * B, -1)
         if self.dueling:
             logits = DistributionalDuelingHead(
@@ -154,15 +162,19 @@ class AtariR2d1Model(nn.Module):
     paddings: Sequence[int] = ATARI_PADDINGS
     obs_divisor: float = 255.0  # 1.0 for binary MinAtar planes
     compute_dtype: jnp.dtype = jnp.float32
+    space_to_depth: bool = True  # exact-math MXU-friendly first conv
 
     @nn.compact
     def __call__(self, observation, prev_action, prev_reward,
                  rnn_state: RnnState, done=None):
         lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
         img = observation.reshape((T * B,) + img_shape)
-        img = img.astype(self.compute_dtype) * (1.0 / self.obs_divisor)
+        # uint8 stays uint8 through the layout change; scaling folds
+        # into the first conv's fused input (models/conv.py).
         x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
-                        self.paddings, compute_dtype=self.compute_dtype)(img)
+                        self.paddings, compute_dtype=self.compute_dtype,
+                        space_to_depth=self.space_to_depth,
+                        input_scale=1.0 / self.obs_divisor)(img)
         x = x.reshape(T, B, -1)
         pa = jax.nn.one_hot(prev_action.reshape(T, B), self.n_actions,
                             dtype=x.dtype)

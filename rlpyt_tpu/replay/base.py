@@ -169,6 +169,14 @@ class BaseReplayBuffer:
             state.data.observation)
         return self._restore_obs(rows, t_idx.shape)
 
+    def _obs_pair_at(self, state: ReplayState, t_idx: jax.Array,
+                     b_idx: jax.Array):
+        """(obs at t, obs at t + n_step) — a pair hook so frame buffers
+        can serve both stacks from ONE union gather (the windows share
+        K - n frames)."""
+        return (self._obs_at(state, t_idx, b_idx, 0),
+                self._obs_at(state, t_idx, b_idx, self.n_step))
+
     def extract_batch(self, state: ReplayState, t_idx: jax.Array,
                       b_idx: jax.Array,
                       is_weights: jax.Array | None = None
@@ -180,7 +188,7 @@ class BaseReplayBuffer:
         def at(leaf, k=0):
             return leaf[(t_idx + k) % self.size_T, b_idx]
 
-        obs = self._obs_at(state, t_idx, b_idx, 0)
+        obs, target_obs = self._obs_pair_at(state, t_idx, b_idx)
         action = at(d.action)
         prev_action = at(d.action, -1)
         prev_reward = at(d.reward, -1)
@@ -196,7 +204,6 @@ class BaseReplayBuffer:
             timeout_n = timeout_n | (at(d.timeout, k) & ~done_n)
             done_n = done_n | at(d.done, k)
 
-        target_obs = self._obs_at(state, t_idx, b_idx, self.n_step)
         target_prev_action = at(d.action, self.n_step - 1)
         target_prev_reward = at(d.reward, self.n_step - 1)
 

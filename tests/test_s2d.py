@@ -1,0 +1,75 @@
+"""Space-to-depth first conv: exact-math equivalence with the plain
+strided conv (models/conv.py:Conv2dModel.space_to_depth).
+
+The stride-4 8x8 Nature-CNN first layer is algebraically identical to a
+stride-1 2x2 conv over the 4x4-block space-to-depth input with the
+kernel re-blocked the same way; this pins the weight correspondence so
+the flag is provably a layout change, not a model change."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlpyt_tpu.models.conv import Conv2dModel
+from rlpyt_tpu.models.dqn import AtariDqnModel
+
+GEOM = dict(channels=(32, 64, 64), kernel_sizes=(8, 4, 3),
+            strides=(4, 2, 1), paddings=(0, 1, 1))
+
+
+def test_s2d_conv_matches_plain_conv():
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 4, 104, 80), jnp.float32)
+
+    plain = Conv2dModel(**GEOM, space_to_depth=False)
+    s2d = Conv2dModel(**GEOM, space_to_depth=True)
+    p_plain = plain.init(key, x)
+
+    # Re-block the first kernel: [k,k,C,O] -> [k/s,s,k/s,s,C,O] ->
+    # [k/s,k/s,C,s,s,O] -> [k/s,k/s,C*s*s,O]; the s2d input flattens its
+    # blocks in the same (c, dy, dx) order.
+    k, s, C, O = 8, 4, 4, 32
+    w = p_plain["params"]["Conv_0"]["kernel"]
+    w2 = (w.reshape(k // s, s, k // s, s, C, O)
+           .transpose(0, 2, 4, 1, 3, 5)
+           .reshape(k // s, k // s, s * s * C, O))
+    p_s2d = jax.tree.map(lambda a: a, p_plain)  # copy tree
+    p_s2d["params"]["Conv_0"]["kernel"] = w2
+
+    y_plain = plain.apply(p_plain, x)
+    y_s2d = s2d.apply(p_s2d, x)
+    assert y_plain.shape == y_s2d.shape
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_param_shape_and_fan_in():
+    key = jax.random.key(1)
+    x = jnp.zeros((2, 4, 104, 80), jnp.float32)
+    p = Conv2dModel(**GEOM, space_to_depth=True).init(key, x)
+    w = p["params"]["Conv_0"]["kernel"]
+    assert w.shape == (2, 2, 64, 32)
+    # fan-in (init variance scale) matches the plain 8*8*4 kernel
+    assert 2 * 2 * 64 == 8 * 8 * 4
+
+
+def test_s2d_inert_when_geometry_disallows():
+    """MinAtar-style stride-1 first conv: flag must not change params."""
+    key = jax.random.key(2)
+    x = jnp.zeros((2, 4, 10, 10), jnp.float32)
+    geom = dict(channels=(16,), kernel_sizes=(3,), strides=(1,),
+                paddings=(0,))
+    p0 = Conv2dModel(**geom, space_to_depth=False).init(key, x)
+    p1 = Conv2dModel(**geom, space_to_depth=True).init(key, x)
+    assert (p0["params"]["Conv_0"]["kernel"].shape
+            == p1["params"]["Conv_0"]["kernel"].shape)
+
+
+def test_atari_dqn_model_s2d_default_runs():
+    key = jax.random.key(3)
+    obs = jnp.zeros((5, 4, 104, 80), jnp.uint8)
+    model = AtariDqnModel(n_actions=6)
+    params = model.init(key, obs)
+    q = model.apply(params, obs)
+    assert q.shape == (5, 6)
+    assert params["params"]["Conv2dModel_0"]["Conv_0"]["kernel"].shape \
+        == (2, 2, 64, 32)
