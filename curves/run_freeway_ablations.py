@@ -1,0 +1,89 @@
+"""Freeway per-setting ablations (VERDICT r3 item #1).
+
+Context: our ernbw/dqn configs plateau at 26-29 on MinAtar Freeway at 5M
+steps vs the published DQN band (~50-60, Young & Tian arXiv:1903.03176),
+and the faithful published-settings variant (configs minatar_dqn.py:
+"dqn_pub" — centered RMSprop 2.5e-4, batch 32, one update per env step,
+uniform 100k replay, n-step 1, no double) collapses to 0.0 return in our
+64-lane lockstep regime (curves/minatar_freeway_dqn_pub).  These runs
+flip ONE knob at a time from the working "dqn" control toward the
+published settings (plus an env sticky-action control) to isolate which
+setting carries the gap.
+
+Each run: Freeway, 5M steps, seed 0, logs to
+curves/freeway_ablation/<name>/run_0/progress.csv; summary appended to
+curves/freeway_ablation/status.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+OUT = os.path.join(ROOT, "curves", "freeway_ablation")
+
+from rlpyt_tpu.utils.profiling import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
+ABLATIONS = {
+    # one published setting at a time, applied to the working control
+    "n_step_1": {"algo": {"n_step_return": 1}},
+    "replay_100k": {"algo": {"replay_size": 100_000}},
+    "batch32_ratio32": {"algo": {"batch_size": 32, "replay_ratio": 32.0}},
+    "rmsprop": {"algo": {"learning_rate": 2.5e-4, "optim": "rmsprop",
+                         "optim_kwargs": {"decay": 0.95, "eps": 0.01,
+                                          "centered": True}}},
+    "no_double": {"algo": {"double_dqn": False}},
+    # rescue test: published combo + the two knobs we suspect carry it
+    "pub_rescued": {"config_key": "dqn_pub",
+                    "algo": {"n_step_return": 3,
+                             "replay_size": 500_000}},
+    # env control: published numbers predate sticky actions
+    "no_sticky": {"env": {"sticky_action_prob": 0.0},
+                  "eval_env": {"sticky_action_prob": 0.0}},
+}
+
+
+def main():
+    from rlpyt_tpu.experiments.scripts.minatar_dqn import build_and_train
+
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    os.makedirs(OUT, exist_ok=True)
+    status_path = os.path.join(OUT, "status.json")
+    status = (json.load(open(status_path))
+              if os.path.exists(status_path) else {})
+    for name, spec in ABLATIONS.items():
+        if only and only not in name:
+            continue
+        if status.get(name, {}).get("ok"):
+            continue
+        key = spec.get("config_key", "dqn")
+        overrides = {"env": {"game": "freeway",
+                             **spec.get("env", {})},
+                     "eval_env": {"game": "freeway",
+                                  **spec.get("eval_env", {})},
+                     "algo": spec.get("algo", {}),
+                     "runner": {"n_steps": 5_000_000}}
+        t0 = time.time()
+        print(f"=== freeway ablation {name} (base {key}) ===", flush=True)
+        try:
+            build_and_train(key, log_dir=os.path.join(OUT, name),
+                            run_id=0, seed=0, config_overrides=overrides)
+            status[name] = {"ok": True, "seconds": time.time() - t0,
+                            "base": key, "delta": spec}
+        except Exception as e:
+            traceback.print_exc()
+            status[name] = {"ok": False, "error": repr(e),
+                            "seconds": time.time() - t0}
+        with open(status_path, "w") as f:
+            json.dump(status, f, indent=1, default=str)
+        print(f"=== {name} done in {time.time()-t0:.0f}s ===", flush=True)
+
+
+if __name__ == "__main__":
+    main()

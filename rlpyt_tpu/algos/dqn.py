@@ -58,6 +58,7 @@ class DQN(RlAlgorithm):
         pri_beta: float = 0.4,
         frame_buffer: bool = False,
         frames_per_obs: int = 4,
+        pallas_frame_gather: bool = False,
         optim: str = "adam",
         optim_kwargs: dict | None = None,
     ):
@@ -78,6 +79,7 @@ class DQN(RlAlgorithm):
         self.pri_beta = pri_beta
         self.frame_buffer = frame_buffer
         self.frames_per_obs = frames_per_obs
+        self.pallas_frame_gather = pallas_frame_gather
         self.optim = optim
         self.optim_kwargs = dict(optim_kwargs or {})
 
@@ -127,6 +129,15 @@ class DQN(RlAlgorithm):
             kwargs.update(alpha=self.pri_alpha, beta=self.pri_beta)
         if self.frame_buffer:
             kwargs.update(frames_per_obs=self.frames_per_obs)
+            if self.pallas_frame_gather:
+                # Fused gather emits the model's space-to-depth layout;
+                # needs the model's first-layer stride (same params
+                # serve raw rollout obs and blocked replay obs).
+                model = agent.model
+                assert getattr(model, "space_to_depth", False), (
+                    "pallas_frame_gather requires a space_to_depth "
+                    "model (models/conv.py)")
+                kwargs.update(blocked_s2d=int(model.strides[0]))
         self.replay = ReplayCls(**kwargs)
 
         example = SamplesToBuffer(

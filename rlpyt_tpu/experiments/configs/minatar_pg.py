@@ -32,3 +32,15 @@ config["algo"].update(
     epochs=4, minibatches=4, ratio_clip=0.1, linear_lr_schedule=True,
     learning_rate=2.5e-4, gae_lambda=0.95, normalize_advantage=True)
 configs["ppo"] = config
+
+# Recurrent PG (reference config family:
+# rlpyt/experiments/configs/atari/pg/atari_lstm_a2c.py — Atari LSTM A2C
+# is a first-class config there; this is its MinAtar-scale analogue).
+config = copy.deepcopy(configs["a2c"])
+config["model"]["lstm_size"] = 128
+configs["lstm_a2c"] = config
+
+config = copy.deepcopy(configs["ppo"])
+config["model"]["lstm_size"] = 128
+# recurrent PPO minibatches over B only (init_rnn_state per lane)
+configs["lstm_ppo"] = config

@@ -5,11 +5,14 @@ from __future__ import annotations
 import copy
 import sys
 
-from rlpyt_tpu.agents.pg import CategoricalPgAgent
+from rlpyt_tpu.agents.pg import (
+    CategoricalPgAgent,
+    RecurrentCategoricalPgAgent,
+)
 from rlpyt_tpu.algos.pg import A2C, PPO
 from rlpyt_tpu.envs.minatar import make_minatar
 from rlpyt_tpu.experiments.configs.minatar_pg import configs
-from rlpyt_tpu.models.pg import AtariFfModel
+from rlpyt_tpu.models.pg import AtariFfModel, AtariLstmModel
 from rlpyt_tpu.runners.sync import SyncRl
 from rlpyt_tpu.runners.train import MinibatchRl
 from rlpyt_tpu.samplers.rollout import BatchSpec
@@ -45,10 +48,16 @@ def build_and_train(config_key: str = "ppo", log_dir=None, run_id: int = 0,
 
     game = config["env"].pop("game")
     env = make_minatar(game, **config["env"])
-    agent = CategoricalPgAgent(ModelCls=AtariFfModel,
-                               model_kwargs=config["model"],
-                               **config["agent"])
-    AlgoCls = PPO if config_key == "ppo" else A2C
+    recurrent = config_key.startswith("lstm")
+    if recurrent:
+        agent = RecurrentCategoricalPgAgent(
+            ModelCls=AtariLstmModel, model_kwargs=config["model"],
+            **config["agent"])
+    else:
+        agent = CategoricalPgAgent(ModelCls=AtariFfModel,
+                                   model_kwargs=config["model"],
+                                   **config["agent"])
+    AlgoCls = PPO if config_key.endswith("ppo") else A2C
     algo = AlgoCls(**config["algo"])
 
     sampler = config["sampler"]

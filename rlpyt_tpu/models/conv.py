@@ -39,16 +39,28 @@ class Conv2dModel(nn.Module):
     # (lets callers keep obs uint8 through the transpose and fold the
     # 1/255 scaling into the conv's fused epilogue).
     input_scale: float = 1.0
+    # Input is ALREADY in the space-to-depth layout [B, H/s, W/s, s*s*C]
+    # with channel order (C, dy, dx) — produced by the fused Pallas
+    # gather (ops/pallas/frame_gather.py).  Same params as the
+    # space_to_depth raw path.
+    pre_blocked: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x: [B, C, H, W] → [B, C_out, H', W'] (NCHW at the API surface)."""
         paddings = self.paddings or [0] * len(self.channels)
         k0, s0, p0 = (self.kernel_sizes[0], self.strides[0], paddings[0])
-        use_s2d = (self.space_to_depth and s0 > 1 and k0 % s0 == 0
-                   and p0 == 0 and x.shape[2] % s0 == 0
-                   and x.shape[3] % s0 == 0)
-        if use_s2d:
+        if self.pre_blocked:
+            assert self.space_to_depth and s0 > 1 and k0 % s0 == 0 \
+                and p0 == 0, "pre_blocked needs an s2d-able first layer"
+            use_s2d = True
+        else:
+            use_s2d = (self.space_to_depth and s0 > 1 and k0 % s0 == 0
+                       and p0 == 0 and x.shape[2] % s0 == 0
+                       and x.shape[3] % s0 == 0)
+        if self.pre_blocked:
+            pass                                 # already blocked NHWC
+        elif use_s2d:
             B, C, H, W = x.shape
             x = x.reshape(B, C, H // s0, s0, W // s0, s0)
             # Channel order (C, dy, dx): keeps dx (contiguous source

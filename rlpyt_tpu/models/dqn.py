@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from rlpyt_tpu.models.conv import Conv2dModel
 from rlpyt_tpu.models.mlp import MlpModel
 from rlpyt_tpu.models.rnn import LstmCore, RnnState
+from rlpyt_tpu.ops.pallas.frame_gather import BlockedFrames
 from rlpyt_tpu.struct import (
     infer_leading_dims,
     infer_leading_dims_tree,
@@ -83,6 +84,11 @@ class AtariDqnModel(nn.Module):
 
     @nn.compact
     def __call__(self, observation, prev_action=None, prev_reward=None):
+        # BlockedFrames: the fused Pallas gather already produced the
+        # space-to-depth conv input (same params as the raw path).
+        pre_blocked = isinstance(observation, BlockedFrames)
+        if pre_blocked:
+            observation = observation.data
         lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
         img = observation.reshape((T * B,) + img_shape)
         # uint8 stays uint8 through the layout change; scaling folds
@@ -90,7 +96,8 @@ class AtariDqnModel(nn.Module):
         x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
                         self.paddings, compute_dtype=self.compute_dtype,
                         space_to_depth=self.space_to_depth,
-                        input_scale=1.0 / self.obs_divisor)(img)
+                        input_scale=1.0 / self.obs_divisor,
+                        pre_blocked=pre_blocked)(img)
         x = x.reshape(T * B, -1)
         if self.dueling:
             q = DuelingHead(self.fc_sizes, self.n_actions,
@@ -119,6 +126,9 @@ class AtariCatDqnModel(nn.Module):
 
     @nn.compact
     def __call__(self, observation, prev_action=None, prev_reward=None):
+        pre_blocked = isinstance(observation, BlockedFrames)
+        if pre_blocked:
+            observation = observation.data
         lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
         img = observation.reshape((T * B,) + img_shape)
         # uint8 stays uint8 through the layout change; scaling folds
@@ -126,7 +136,8 @@ class AtariCatDqnModel(nn.Module):
         x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
                         self.paddings, compute_dtype=self.compute_dtype,
                         space_to_depth=self.space_to_depth,
-                        input_scale=1.0 / self.obs_divisor)(img)
+                        input_scale=1.0 / self.obs_divisor,
+                        pre_blocked=pre_blocked)(img)
         x = x.reshape(T * B, -1)
         if self.dueling:
             logits = DistributionalDuelingHead(

@@ -27,24 +27,70 @@ from rlpyt_tpu.replay.uniform import UniformReplayBuffer
 
 class FrameReplayMixin:
     """Compose left of a replay class: strips stacks to newest-frame at
-    insert, reconstructs at sample."""
+    insert, reconstructs at sample.
 
-    def __init__(self, *args, frames_per_obs: int = 4, **kwargs):
+    ``blocked_s2d``: when set to the first conv's stride s, sampling
+    runs the fused Pallas gather (ops/pallas/frame_gather.py) and
+    returns ``BlockedFrames`` observations already in the
+    space-to-depth conv layout — one DMA per sample instead of the XLA
+    gather/select/concat/transpose chain.  Requires a single bare-array
+    [K, H, W] observation with H, W divisible by s; the ring then
+    carries K-1+n ghost rows mirroring its first rows so every union
+    window is contiguous."""
+
+    def __init__(self, *args, frames_per_obs: int = 4,
+                 blocked_s2d: int | None = None, **kwargs):
         super().__init__(*args, **kwargs)
         self.frames_per_obs = frames_per_obs
         self.off_forward = max(self.off_forward, frames_per_obs - 1)
+        self.blocked_s2d = blocked_s2d
+        self.ghost_rows = (frames_per_obs - 1 + self.n_step
+                           if blocked_s2d else 0)
+        if blocked_s2d:
+            assert self.ghost_rows <= self.sample_T, (
+                "ghost mirror needs K-1+n <= sample_T (one append block "
+                "covers the mirrored rows)")
 
     def init(self, example: SamplesToBuffer):
         # example.observation: [K, H, W] → store a single [H, W] frame.
         ex = example._replace(
             observation=jax.tree.map(lambda o: o[-1], example.observation))
-        return super().init(ex)
+        state = super().init(ex)
+        if self.blocked_s2d:
+            assert len(jax.tree.leaves(example.observation)) == 1, (
+                "blocked_s2d needs a single bare-array observation")
+            leaf = jax.tree.leaves(state.data.observation)[0]
+            self._frame_hw = jax.tree.leaves(example.observation)[0].shape[-2:]
+            H, W = self._frame_hw
+            s = self.blocked_s2d
+            assert H % s == 0 and W % s == 0, (H, W, s)
+            ghosted = jnp.zeros((self.size_T + self.ghost_rows,)
+                                + leaf.shape[1:], leaf.dtype)
+            state = state._replace(
+                data=state.data._replace(observation=ghosted))
+        return state
 
     def append(self, state, samples: SamplesToBuffer):
         samples = samples._replace(
             observation=jax.tree.map(lambda o: o[:, :, -1],
                                      samples.observation))
-        return super().append(state, samples)
+        t_before = state.t
+        state = super().append(state, samples)
+        if self.blocked_s2d:
+            # Mirror rows [0, ghost) at [size_T, size_T+ghost) so union
+            # windows never wrap.  The block written at t_before==0
+            # covers those rows; for any other t_before this re-writes
+            # the same rows with the same data (no-op by construction).
+            gh = self.ghost_rows
+            obs_rows = jax.tree.leaves(self._flatten_obs(
+                samples.observation, lead=2))[0][:gh]
+            ring = jax.tree.leaves(state.data.observation)[0]
+            start = jnp.where(t_before == 0, self.size_T, t_before)
+            ring = jax.lax.dynamic_update_slice_in_dim(
+                ring, obs_rows, start, axis=0)
+            state = state._replace(
+                data=state.data._replace(observation=ring))
+        return state
 
     def _stack_masks(self, dones_u, starts):
         """Validity masks from the union done rows.  ``dones_u`` is
@@ -109,9 +155,41 @@ class FrameReplayMixin:
 
     def _obs_pair_at(self, state, t_idx, b_idx):
         """(obs_t, obs_{t+n}) from one union gather of K+n frames."""
+        if self.blocked_s2d:
+            return self._obs_pair_blocked(state, t_idx, b_idx)
         obs, target = self._gather_union(state, t_idx, b_idx,
                                          self.n_step, (0, self.n_step))
         return obs, target
+
+    def _obs_pair_blocked(self, state, t_idx, b_idx):
+        """Fused Pallas path: one strided DMA per sample (ghost rows
+        make the union window contiguous), masking + uint8→bf16 +
+        space-to-depth blocking inside the kernel."""
+        import jax as _jax
+
+        from rlpyt_tpu.ops.pallas.frame_gather import (
+            BlockedFrames,
+            gather_frame_stacks,
+        )
+
+        d = state.data
+        K = self.frames_per_obs
+        n = self.n_step
+        U = K + n
+        # boundary masks from the done ring (same math as the jnp path)
+        rows_u = (t_idx[:, None] - (K - 1)
+                  + jnp.arange(U)[None, :]) % self.size_T
+        dones_u = d.done[rows_u[:, :-1], b_idx[:, None]]
+        mask_a, mask_t = self._stack_masks(dones_u, (0, n))
+
+        ring = jax.tree.leaves(d.observation)[0]  # [size_T+gh, B, F]
+        H, W = self._frame_hw
+        start = (t_idx - (K - 1)) % self.size_T
+        out_a, out_t = gather_frame_stacks(
+            ring, start, b_idx, mask_a, mask_t,
+            K=K, n_step=n, H=H, W=W, s=self.blocked_s2d,
+            interpret=_jax.default_backend() == "cpu")
+        return BlockedFrames(out_a), BlockedFrames(out_t)
 
 
 class UniformFrameReplayBuffer(FrameReplayMixin, UniformReplayBuffer):
