@@ -80,7 +80,7 @@ def main():
 
     nature_parity = run_config(B=128, T=32, update_batch=256,
                                replay_ratio=8.0, n_intervals=5)
-    nature_scaled = run_config(B=2048, T=32, update_batch=4096,
+    nature_scaled = run_config(B=1024, T=32, update_batch=2048,
                                replay_ratio=8.0, n_intervals=5)
     print(json.dumps({
         "metric": "env-steps/s/chip (MinAtar-Breakout DQN fused "
@@ -97,7 +97,7 @@ def main():
         "nature_cnn_parity_B128": {
             k: nature_parity[k] for k in
             ("value", "trained_frames_per_s", "mfu", "device")},
-        "nature_cnn_scaled_B2048": {
+        "nature_cnn_scaled_B1024": {
             k: nature_scaled[k] for k in
             ("value", "trained_frames_per_s", "mfu", "device")},
     }))

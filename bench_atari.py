@@ -16,10 +16,13 @@ env-steps/s and achieved FLOP/s at Atari frame geometry.
 Reports env-steps/s/chip AND model-FLOP utilization (analytic FLOPs —
 see nature_cnn_fwd_flops; XLA cost_analysis undercounts scan bodies).
 Prints ONE JSON line like bench.py; ``--sweep`` prints one line per B
-geometry.  Measured 2026-08-21 (TPU v5e): 23.4k steps/s at B=128 →
-B-invariant plateau 28.9k at B=1024-2048, 18% MFU — conv-compute-bound
-at replay_ratio=8 (see BASELINE.md for the full table + ceiling
-analysis).
+geometry.  Measured 2026-08-21 (TPU v5e) after the round-4 3D-conv
+space-to-depth + blocked-frame-replay work: 34.4k steps/s at B=128,
+peak 36.1k at B=1024 (22.5% MFU; was 23.8k / 28.9k / 18% in round 3).
+The in-scan model math runs at ~45% MFU — the lane-fill structural
+ceiling — with the remainder in the replay frame gather (73 GB/s
+descriptor-bound) + uint8→bf16 convert (see BASELINE.md +
+profiles/flagship_profile_B1024.json).
 
 Documented deviation from rlpyt's serial Pong config: B=128 lockstep
 env lanes (TPU-idiomatic; rlpyt steps 1 env) and update batch 256

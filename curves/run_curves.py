@@ -4,11 +4,11 @@ progress.csv for comparison against rlpyt's published curves).
 
 Runs sequentially on one chip:
 - ernbw (Rainbow-combo: Double+Dueling+PER+n-step+C51) on 5 MinAtar games
-  at the config's full 2M-step budget (freeway at 5M: its published DQN
-  plateau ~55 needs the longer budget to be comparable).
+  at the published-MinAtar 5M-frame budget (budget-matched to the Young
+  & Tian DQN comparison table in curves/README.md).
 - R2D1 on breakout + space_invaders at 10M steps (the recurrent
   seq-PER path learns slower per env step; see the comment in sweep()).
-- PPO and A2C on MinAtar Breakout at 5M steps.
+- PPO, A2C, and recurrent LSTM-A2C on MinAtar Breakout at 5M steps.
 - SAC and TD3 on HalfCheetah-v5 / Walker2d-v5 through the host farm at
   400k steps (shortened from rlpyt's 1M; enough to place the curve),
   with offline eval (Eval* columns) on.
@@ -72,10 +72,12 @@ def run_mujoco_qpg(config_key, env_id, n_steps=400_000, seed=0):
 def sweep(seed=0):
     jobs = []
     for game in MINATAR_GAMES:
-        n = 5_000_000 if game == "freeway" else None  # see module doc
+        # All games at the published MinAtar budget (5M frames) so the
+        # comparison table is budget-matched row for row (VERDICT r3
+        # item #4; Young & Tian run DQN for 5M frames).
         jobs.append((f"minatar_{game}_ernbw",
-                     lambda g=game, n=n: run_minatar_dqn(
-                         "ernbw", g, n_steps=n, seed=seed)))
+                     lambda g=game: run_minatar_dqn(
+                         "ernbw", g, n_steps=5_000_000, seed=seed)))
     for game in ["breakout", "space_invaders"]:
         # 10M: the recurrent seq-PER path learns ~2-3x slower per env
         # step than ernbw on MinAtar, so the 2M DQN budget leaves the
@@ -86,7 +88,9 @@ def sweep(seed=0):
         jobs.append((f"minatar_{game}_r2d1",
                      lambda g=game: run_minatar_dqn(
                          "r2d1", g, n_steps=10_000_000, seed=seed)))
-    for key in ["ppo", "a2c"]:
+    for key in ["ppo", "a2c", "lstm_a2c"]:
+        # lstm_a2c: the reference's Atari LSTM A2C config family
+        # (configs/atari/pg/atari_lstm_a2c.py) at MinAtar scale.
         jobs.append((f"minatar_breakout_{key}",
                      lambda k=key: run_minatar_pg(k, "breakout",
                                                   seed=seed)))

@@ -69,6 +69,7 @@ class R2D1(RlAlgorithm):
         frame_compress: bool = False,
         frames_per_obs: int = 4,
         mask_after_done: bool = False,
+        zero_state_init: bool = False,
     ):
         self.discount = discount
         self.batch_b = batch_b
@@ -101,6 +102,7 @@ class R2D1(RlAlgorithm):
         # discards most of the batch.  Default trains all steps;
         # set mask_after_done=True for strict reference behavior.
         self.mask_after_done = mask_after_done
+        self.zero_state_init = zero_state_init
 
     # ------------------------------------------------------------------
 
@@ -205,8 +207,15 @@ class R2D1(RlAlgorithm):
         def split(x, lo, hi):
             return jax.tree.map(lambda l: l[lo:hi], x)
 
-        online_state = batch.init_rnn_state
-        target_state = batch.init_rnn_state
+        if self.zero_state_init:
+            # Ablation knob: ignore the stored collection-time rnn state
+            # and burn in from zeros (the R2D2 paper's zero-state
+            # baseline; stored-state is the reference default).
+            online_state = jax.tree.map(jnp.zeros_like,
+                                        batch.init_rnn_state)
+        else:
+            online_state = batch.init_rnn_state
+        target_state = online_state
         if wT > 0:
             _, online_state = forward(
                 params, split(batch.observation, 0, wT),

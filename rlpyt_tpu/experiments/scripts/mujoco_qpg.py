@@ -10,7 +10,7 @@ from rlpyt_tpu.agents.qpg import DdpgAgent, SacAgent, Td3Agent
 from rlpyt_tpu.algos.qpg import DDPG, SAC, TD3
 from rlpyt_tpu.envs.host import SharedMemVecEnv, SerialVecEnv
 from rlpyt_tpu.experiments.configs.mujoco_qpg import configs
-from rlpyt_tpu.runners.host import HostMinibatchRl
+from rlpyt_tpu.runners.host import AsyncHostRl, HostMinibatchRl
 from rlpyt_tpu.utils.logging import logger_context
 from rlpyt_tpu.utils.variant import load_variant, update_config
 
@@ -20,7 +20,10 @@ ALGOS = {"sac": SAC, "td3": TD3, "ddpg": DDPG}
 
 def build_and_train(config_key: str = "sac", log_dir=None, run_id: int = 0,
                     seed: int = 0, variant=None, config_overrides=None,
-                    serial: bool = False):
+                    serial: bool = False, runner: str = "sync"):
+    """``runner``: "sync" (HostMinibatchRl) or "async" (AsyncHostRl —
+    learner thread overlaps env stepping, the reference AsyncRl
+    topology, rlpyt/runners/async_rl.py ~L20-400)."""
     config = copy.deepcopy(configs[config_key])
     if variant is not None:
         config = update_config(config, variant)
@@ -46,15 +49,16 @@ def build_and_train(config_key: str = "sac", log_dir=None, run_id: int = 0,
                          eval_max_trajectories=sampler.get(
                              "eval_max_trajectories"),
                          **config["runner"])
+    RunnerCls = AsyncHostRl if runner == "async" else HostMinibatchRl
     try:
         if log_dir is not None:
             name = f"mujoco_{config['env']['id']}_{config_key}"
             with logger_context(log_dir, run_id, name,
                                 config=config) as logger:
-                runner = HostMinibatchRl(logger=logger, **runner_kwargs)
+                runner = RunnerCls(logger=logger, **runner_kwargs)
                 result = runner.train()
         else:
-            runner = HostMinibatchRl(**runner_kwargs)
+            runner = RunnerCls(**runner_kwargs)
             result = runner.train()
     finally:
         farm.close()

@@ -59,16 +59,18 @@ class Conv2dModel(nn.Module):
                        and p0 == 0 and x.shape[2] % s0 == 0
                        and x.shape[3] % s0 == 0)
         if self.pre_blocked:
-            pass                                 # already blocked NHWC
+            pass           # already [B, C, Hb, Wb, s*s] blocked rows
         elif use_s2d:
+            # Per-frame blocking only (dy past Wb) — the SAME permute
+            # block_frame_rows applies at replay insert, so the blocked
+            # replay path reaches this point with pure reshapes and the
+            # K frames never need interleaving into one channel axis:
+            # the first layer is a 3D conv whose leading spatial window
+            # spans the C(=frame) axis.
             B, C, H, W = x.shape
             x = x.reshape(B, C, H // s0, s0, W // s0, s0)
-            # Channel order (C, dy, dx): keeps dx (contiguous source
-            # bytes) minor so the u8 relayout copies 4-byte runs instead
-            # of single strided bytes.  Channel order is free to choose —
-            # the first-layer kernel is learned in whatever order we fix.
-            x = x.transpose(0, 2, 4, 1, 3, 5)    # [B, Hb, Wb, C, dy, dx]
-            x = x.reshape(B, H // s0, W // s0, s0 * s0 * C)
+            x = x.transpose(0, 1, 2, 4, 3, 5)   # [B, C, Hb, Wb, dy, dx]
+            x = x.reshape(B, C, H // s0, W // s0, s0 * s0)
         else:
             x = jnp.transpose(x, (0, 2, 3, 1))   # NHWC
         x = x.astype(self.compute_dtype)
@@ -77,8 +79,14 @@ class Conv2dModel(nn.Module):
         for i, (ch, k, s, p) in enumerate(zip(
                 self.channels, self.kernel_sizes, self.strides, paddings)):
             if i == 0 and use_s2d:
-                x = nn.Conv(ch, (k // s, k // s), strides=(1, 1),
+                # x: [B, C, Hb, Wb, s*s] = NDHWC with D=C frames.
+                # Window (C, k/s, k/s) stride 1 VALID collapses the
+                # frame axis — exactly the original stride-s kxk conv
+                # over C channels (kernel re-blocked; same fan-in).
+                C = x.shape[1]
+                x = nn.Conv(ch, (C, k // s, k // s), strides=(1, 1, 1),
                             padding="VALID", dtype=self.compute_dtype)(x)
+                x = x.reshape(x.shape[0], x.shape[2], x.shape[3], ch)
             else:
                 x = nn.Conv(ch, (k, k), strides=(s, s),
                             padding=[(p, p), (p, p)],

@@ -84,12 +84,13 @@ class AtariDqnModel(nn.Module):
 
     @nn.compact
     def __call__(self, observation, prev_action=None, prev_reward=None):
-        # BlockedFrames: the fused Pallas gather already produced the
-        # space-to-depth conv input (same params as the raw path).
+        # BlockedFrames: the replay already produced the blocked-row
+        # [K, Hb, Wb, s*s] conv input (same params as the raw path).
         pre_blocked = isinstance(observation, BlockedFrames)
         if pre_blocked:
             observation = observation.data
-        lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
+        lead_dim, T, B, img_shape = infer_leading_dims(
+            observation, 4 if pre_blocked else 3)
         img = observation.reshape((T * B,) + img_shape)
         # uint8 stays uint8 through the layout change; scaling folds
         # into the first conv's fused input (models/conv.py).
@@ -129,7 +130,8 @@ class AtariCatDqnModel(nn.Module):
         pre_blocked = isinstance(observation, BlockedFrames)
         if pre_blocked:
             observation = observation.data
-        lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
+        lead_dim, T, B, img_shape = infer_leading_dims(
+            observation, 4 if pre_blocked else 3)
         img = observation.reshape((T * B,) + img_shape)
         # uint8 stays uint8 through the layout change; scaling folds
         # into the first conv's fused input (models/conv.py).

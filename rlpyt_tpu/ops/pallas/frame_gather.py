@@ -8,23 +8,23 @@ convert, and the model's space-to-depth relayout — ~6-10 ms of the
 ~17 ms update at B=4096 on v5e (profiles/flagship_profile_B2048.json),
 all bandwidth-bound data movement over the same bytes.
 
-This kernel does the whole pipeline in ONE pass per sample:
+Design: the expensive interleave (space-to-depth blocking) moves to
+INSERT time — each collected frame is stored as a pre-blocked row
+(``block_frame_rows``), paid once per env step instead of ~2x
+replay_ratio times per sampled frame.  Sampling is then one kernel:
 
-    HBM ring row window --DMA--> VMEM --mask·convert·block--> conv input
+    HBM ring window --one strided DMA--> VMEM --mask·convert--> conv input
 
 - The ring carries ``K-1+n`` ghost rows mirroring its first rows, so
   every sample's union window [t-K+1, t+n] is one CONTIGUOUS (strided
-  over the lane axis) slice: one DMA per sample instead of K+n row
-  gathers (the XLA gather ran at ~70 GB/s, descriptor-bound on 8 KB
-  rows).
-- Boundary masking arrives as a precomputed [batch, K] 0/1 vector per
-  stack (index math on the done ring — bytes, not frames) and is a
-  VPU multiply in VMEM.
-- Output is the space-to-depth conv input [batch, H/s, W/s, K·s·s]
-  bfloat16 with channel order (k, dy, dx) — exactly the layout
-  models/conv.py:Conv2dModel produces for its raw path, so the SAME
-  conv params serve both the rollout (raw obs) and update (blocked)
-  paths.
+  over lanes) slice: one DMA per sample instead of K+n row gathers
+  (the XLA gather ran at ~70 GB/s, descriptor-bound on 8 KB rows).
+- Boundary masking arrives as a [batch, K] 0/1 scalar-prefetch vector
+  per stack (index math on the done ring) and is a VPU scalar multiply.
+- Output channels assemble as (k, dy, dx) — exactly the layout
+  models/conv.py:Conv2dModel produces for its raw space-to-depth path,
+  so the SAME conv params serve the rollout (raw obs) and update
+  (blocked) paths.
 
 Reference analogue: rlpyt/replays/frame.py reconstructs stacks with
 numpy fancy indexing on the host; there is no reference kernel — this
@@ -49,12 +49,25 @@ class BlockedFrames(NamedTuple):
     data: jax.Array
 
 
+def block_frame_rows(frames, s: int):
+    """[..., H, W] frames → [..., H/s * W/s * s*s] pre-blocked flat rows
+    (order (hb, wb, dy, dx); applied once at replay insert)."""
+    *lead, H, W = frames.shape
+    x = frames.reshape(*lead, H // s, s, W // s, s)
+    perm = tuple(range(len(lead))) + tuple(
+        len(lead) + a for a in (0, 2, 1, 3))
+    x = x.transpose(*perm)
+    return x.reshape(*lead, (H // s) * (W // s) * s * s)
+
+
 def _kernel(rows_ref, bidx_ref, mask_a_ref, mask_t_ref, ring_ref,
-            out_a_ref, out_t_ref, buf, sems, *, U, K, n_step, H, W, s,
-            out_dtype):
+            out_a_ref, out_t_ref, buf, sems, *, U, K, n_step, F):
+    """Masked window copy: out rows stay in the ring's pre-blocked row
+    layout; everything is full-row ops (Mosaic imposes lane-tiling
+    limits on sliced HBM views and in-kernel reshapes, so the
+    K-interleave happens as a cheap uint8 XLA transpose outside)."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    Hb, Wb = H // s, W // s
 
     def dma_for(j, slot):
         return pltpu.make_async_copy(
@@ -73,12 +86,9 @@ def _kernel(rows_ref, bidx_ref, mask_a_ref, mask_t_ref, ring_ref,
     frames = buf[i % 2]                       # [U, F] uint8
 
     def build(start, mask_ref, out_ref):
-        win = frames[start:start + K]         # [K, F] static slice
-        x = win.astype(out_dtype) * mask_ref[0].astype(out_dtype)[:, None]
-        # [K, H, W] -> [K, Hb, s, Wb, s] -> [Hb, Wb, K, s, s] (k,dy,dx)
-        x = x.reshape(K, Hb, s, Wb, s)
-        x = x.transpose(1, 3, 0, 2, 4)
-        out_ref[0] = x.reshape(Hb, Wb, K * s * s)
+        for k in range(K):
+            m = mask_ref[i, k].astype(jnp.uint8)   # {0,1} scalar
+            out_ref[0, k] = frames[start + k] * m
 
     build(0, mask_a_ref, out_a_ref)
     build(n_step, mask_t_ref, out_t_ref)
@@ -94,41 +104,36 @@ def gather_frame_stacks(ring, start_rows, b_idx, mask_a, mask_t, *,
     """Build the agent and target space-to-depth stacks for a batch of
     sampled transitions.
 
-    ring:        [size_T + K-1+n_step, B, H*W] uint8 — frame rows with
-                 ghost rows mirroring rows [0, K-1+n_step).
+    ring:        [size_T + K-1+n_step, B, F] uint8 — PRE-BLOCKED frame
+                 rows (block_frame_rows) with ghost rows mirroring rows
+                 [0, K-1+n_step).
     start_rows:  [batch] int32 — (t_idx - (K-1)) mod size_T.
     b_idx:       [batch] int32 — lane index per sample.
     mask_a/t:    [batch, K] {0,1} — stack-boundary validity (oldest
                  frame first), from the done ring.
-    Returns (agent, target): each [batch, H/s, W/s, K*s*s] out_dtype,
+    Returns (agent, target): each [batch, K, H/s, W/s, s*s] out_dtype,
     unscaled (fold 1/255 into the conv input, models/conv.py).
     """
     batch = start_rows.shape[0]
     U = K + n_step
-    F = H * W
-    assert ring.ndim == 3 and ring.shape[2] == F, ring.shape
     Hb, Wb = H // s, W // s
-    C = K * s * s
-    out_shape = jax.ShapeDtypeStruct((batch, Hb, Wb, C), out_dtype)
+    P, ss = Hb * Wb, s * s
+    F = P * ss
+    assert ring.ndim == 3 and ring.shape[2] == F, ring.shape
+    C = K * ss
+    out_shape = jax.ShapeDtypeStruct((batch, K, F), ring.dtype)
 
-    kern = functools.partial(_kernel, U=U, K=K, n_step=n_step, H=H, W=W,
-                             s=s, out_dtype=out_dtype)
+    kern = functools.partial(_kernel, U=U, K=K, n_step=n_step, F=F)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,            # start_rows, b_idx
+        num_scalar_prefetch=4,    # start_rows, b_idx, mask_a, mask_t
         grid=(batch,),
         in_specs=[
-            pl.BlockSpec((1, K), lambda i, rows, bidx: (i, 0),
-                         memory_space=pltpu.VMEM),     # mask_a
-            pl.BlockSpec((1, K), lambda i, rows, bidx: (i, 0),
-                         memory_space=pltpu.VMEM),     # mask_t
             pl.BlockSpec(memory_space=pl.ANY),          # ring (HBM)
         ],
         out_specs=[
-            pl.BlockSpec((1, Hb, Wb, C),
-                         lambda i, rows, bidx: (i, 0, 0, 0),
+            pl.BlockSpec((1, K, F), lambda i, *prefetch: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hb, Wb, C),
-                         lambda i, rows, bidx: (i, 0, 0, 0),
+            pl.BlockSpec((1, K, F), lambda i, *prefetch: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -136,26 +141,33 @@ def gather_frame_stacks(ring, start_rows, b_idx, mask_a, mask_t, *,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out_a, out_t = pl.pallas_call(
+    rows_a, rows_t = pl.pallas_call(
         kern,
         out_shape=(out_shape, out_shape),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=batch * 2 * K * F,
-            bytes_accessed=batch * (U * F + 4 * Hb * Wb * C),
+            bytes_accessed=batch * (U * F + 2 * K * F),
             transcendentals=0,
         ),
     )(start_rows.astype(jnp.int32), b_idx.astype(jnp.int32),
-      mask_a.astype(jnp.uint8), mask_t.astype(jnp.uint8), ring)
-    return out_a, out_t
+      mask_a.astype(jnp.int32), mask_t.astype(jnp.int32), ring)
+
+    def unflatten(rows):
+        # [batch, K, F] -> [batch, K, Hb, Wb, ss]: pure reshape — the
+        # model's first layer is a 3D conv over (K, Hb, Wb) so no
+        # channel interleave is ever needed (models/conv.py).
+        return rows.reshape(batch, K, Hb, Wb, ss).astype(out_dtype)
+
+    return unflatten(rows_a), unflatten(rows_t)
 
 
 def gather_frame_stacks_reference(ring_plain, start_rows, b_idx, mask_a,
                                   mask_t, *, K, n_step, H, W, s,
                                   out_dtype=jnp.bfloat16):
-    """Pure-jnp reference (no ghost rows: ring_plain is [size_T, B, F]
-    and rows wrap mod size_T).  Used by tests to pin the kernel."""
+    """Pure-jnp reference on RAW [H*W] rows (no ghost rows: rows wrap
+    mod size_T).  Used by tests to pin the kernel."""
     size_T = ring_plain.shape[0]
     U = K + n_step
     rows = (start_rows[:, None] + jnp.arange(U)[None, :]) % size_T
@@ -165,6 +177,6 @@ def gather_frame_stacks_reference(ring_plain, start_rows, b_idx, mask_a,
         win = fr[:, start:start + K].astype(out_dtype)
         win = win * mask.astype(out_dtype)[:, :, None]
         x = win.reshape(-1, K, H // s, s, W // s, s)
-        x = x.transpose(0, 2, 4, 1, 3, 5)
-        outs.append(x.reshape(-1, H // s, W // s, K * s * s))
+        x = x.transpose(0, 1, 2, 4, 3, 5)       # per-frame blocking
+        outs.append(x.reshape(-1, K, H // s, W // s, s * s))
     return tuple(outs)

@@ -74,6 +74,15 @@ class FrameReplayMixin:
         samples = samples._replace(
             observation=jax.tree.map(lambda o: o[:, :, -1],
                                      samples.observation))
+        if self.blocked_s2d:
+            # Pre-block at insert (paid once per collected frame) so
+            # the sample-side kernel is a pure masked copy — the
+            # space-to-depth interleave never runs at sample time.
+            from rlpyt_tpu.ops.pallas.frame_gather import block_frame_rows
+            samples = samples._replace(
+                observation=jax.tree.map(
+                    lambda o: block_frame_rows(o, self.blocked_s2d),
+                    samples.observation))
         t_before = state.t
         state = super().append(state, samples)
         if self.blocked_s2d:
@@ -150,6 +159,9 @@ class FrameReplayMixin:
 
     def _obs_at(self, state, t_idx, b_idx, k: int):
         """Single-stack reconstruction (kept for non-paired callers)."""
+        assert not self.blocked_s2d, (
+            "blocked_s2d rings store pre-blocked rows; only the paired "
+            "kernel path (_obs_pair_at) reads them")
         (obs,) = self._gather_union(state, t_idx + k, b_idx, 0, (0,))
         return obs
 
@@ -162,34 +174,46 @@ class FrameReplayMixin:
         return obs, target
 
     def _obs_pair_blocked(self, state, t_idx, b_idx):
-        """Fused Pallas path: one strided DMA per sample (ghost rows
-        make the union window contiguous), masking + uint8→bf16 +
-        space-to-depth blocking inside the kernel."""
-        import jax as _jax
-
-        from rlpyt_tpu.ops.pallas.frame_gather import (
-            BlockedFrames,
-            gather_frame_stacks,
-        )
+        """Blocked-row sample path: rows are pre-blocked at insert, so
+        sampling is ONE row gather + a 16-byte-run uint8 K-interleave
+        transpose + fused mask/convert — no per-frame selects, no stack
+        concatenate, no in-model space-to-depth relayout (the XLA chain
+        those cost ~40% of the flagship update,
+        profiles/flagship_profile_B2048.json).  A Pallas DMA variant
+        exists (ops/pallas/frame_gather.py) but Mosaic's HBM tiling
+        rules forbid single-lane row slices; the XLA gather is kept as
+        the shipping path."""
+        from rlpyt_tpu.ops.pallas.frame_gather import BlockedFrames
 
         d = state.data
         K = self.frames_per_obs
         n = self.n_step
         U = K + n
-        # boundary masks from the done ring (same math as the jnp path)
+        s = self.blocked_s2d
+        H, W = self._frame_hw
+        Hb, Wb = H // s, W // s
+        P, ss = Hb * Wb, s * s
+        batch = t_idx.shape[0]
         rows_u = (t_idx[:, None] - (K - 1)
                   + jnp.arange(U)[None, :]) % self.size_T
-        dones_u = d.done[rows_u[:, :-1], b_idx[:, None]]
+        b2 = b_idx[:, None]
+        dones_u = d.done[rows_u[:, :-1], b2]
         mask_a, mask_t = self._stack_masks(dones_u, (0, n))
 
         ring = jax.tree.leaves(d.observation)[0]  # [size_T+gh, B, F]
-        H, W = self._frame_hw
-        start = (t_idx - (K - 1)) % self.size_T
-        out_a, out_t = gather_frame_stacks(
-            ring, start, b_idx, mask_a, mask_t,
-            K=K, n_step=n, H=H, W=W, s=self.blocked_s2d,
-            interpret=_jax.default_backend() == "cpu")
-        return BlockedFrames(out_a), BlockedFrames(out_t)
+        # Per-row gather (~73 GB/s on v5e, descriptor-bound on 8 KB
+        # rows — measured faster than a vmapped U-row dynamic_slice,
+        # which XLA lowers far worse despite fewer descriptors).
+        fr = ring[rows_u, b2]                      # [batch, U, F] gather
+
+        def stack(start, mask):
+            win = jax.lax.slice_in_dim(fr, start, start + K, axis=1)
+            win = win * mask[:, :, None].astype(win.dtype)
+            # [batch, K, Hb, Wb, ss] — reshapes ONLY; the model's first
+            # layer is a 3D conv over (K, Hb, Wb) so the K frames never
+            # interleave into one channel axis (models/conv.py).
+            return BlockedFrames(win.reshape(batch, K, Hb, Wb, ss))
+        return stack(0, mask_a), stack(n, mask_t)
 
 
 class UniformFrameReplayBuffer(FrameReplayMixin, UniformReplayBuffer):

@@ -17,10 +17,12 @@ GH = K - 1 + N_STEP
 
 
 def make_ring(key):
+    from rlpyt_tpu.ops.pallas.frame_gather import block_frame_rows
     ring = jax.random.randint(key, (SIZE_T, B, F), 0, 256, jnp.int32
                               ).astype(jnp.uint8)
-    # ghost rows mirror rows [0, GH)
-    ghosted = jnp.concatenate([ring, ring[:GH]], axis=0)
+    # the kernel ring stores PRE-BLOCKED rows + ghost rows
+    blocked = block_frame_rows(ring.reshape(SIZE_T, B, H, W), S)
+    ghosted = jnp.concatenate([blocked, blocked[:GH]], axis=0)
     return ring, ghosted
 
 
@@ -55,12 +57,14 @@ def test_blocked_equals_model_s2d_layout():
     key = jax.random.key(7)
     obs = jax.random.randint(key, (2, K, H, W), 0, 256, jnp.int32
                              ).astype(jnp.uint8)
-    # model path: [B, C, H, W] -> blocked channel (C, dy, dx)
+    # model path: [B, C, H, W] -> per-frame blocked [B, C, Hb, Wb, ss]
     x = obs.reshape(2, K, H // S, S, W // S, S)
-    model_blocked = x.transpose(0, 2, 4, 1, 3, 5).reshape(
-        2, H // S, W // S, K * S * S)
+    model_blocked = x.transpose(0, 1, 2, 4, 3, 5).reshape(
+        2, K, H // S, W // S, S * S)
     # kernel path on a ring holding the same frames as consecutive rows
-    ring = obs.transpose(1, 0, 2, 3).reshape(K, 2, F)  # rows=frames
+    from rlpyt_tpu.ops.pallas.frame_gather import block_frame_rows
+    ring = obs.transpose(1, 0, 2, 3)                   # [K, 2, H, W]
+    ring = block_frame_rows(ring, S)                   # pre-blocked rows
     ghosted = jnp.concatenate([ring, ring[:GH]], axis=0)
     start = jnp.zeros((2,), jnp.int32)
     b_idx = jnp.arange(2, dtype=jnp.int32)
@@ -122,11 +126,11 @@ def test_blocked_replay_path_matches_jnp_path():
     obs_b, tgt_b = buf_b._obs_pair_at(st_b, t_idx, b_idx)
     assert isinstance(obs_b, BlockedFrames)
 
-    def block_of(stack):  # [n, K, H, W] -> model s2d layout
+    def block_of(stack):  # [n, K, H, W] -> per-frame blocked 5D
         n = stack.shape[0]
         x = stack.reshape(n, K, H // S, S, W // S, S)
-        return x.transpose(0, 2, 4, 1, 3, 5).reshape(
-            n, H // S, W // S, K * S * S)
+        return x.transpose(0, 1, 2, 4, 3, 5).reshape(
+            n, K, H // S, W // S, S * S)
 
     np.testing.assert_array_equal(
         np.asarray(obs_b.data, np.float32),

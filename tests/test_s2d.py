@@ -24,14 +24,14 @@ def test_s2d_conv_matches_plain_conv():
     s2d = Conv2dModel(**GEOM, space_to_depth=True)
     p_plain = plain.init(key, x)
 
-    # Re-block the first kernel: [k,k,C,O] -> [k/s,s,k/s,s,C,O] ->
-    # [k/s,k/s,C,s,s,O] -> [k/s,k/s,C*s*s,O]; the s2d input flattens its
-    # blocks in the same (c, dy, dx) order.
+    # Re-block the first kernel as the 3D-conv weight
+    # [C, k/s, k/s, s*s, O]: w3d[c,p,q,(dy,dx),o] = w[p*s+dy, q*s+dx, c, o]
+    # — the s2d input is [B, C, H/s, W/s, s*s] with (dy, dx) blocks.
     k, s, C, O = 8, 4, 4, 32
     w = p_plain["params"]["Conv_0"]["kernel"]
     w2 = (w.reshape(k // s, s, k // s, s, C, O)
-           .transpose(0, 2, 4, 1, 3, 5)
-           .reshape(k // s, k // s, s * s * C, O))
+           .transpose(4, 0, 2, 1, 3, 5)
+           .reshape(C, k // s, k // s, s * s, O))
     p_s2d = jax.tree.map(lambda a: a, p_plain)  # copy tree
     p_s2d["params"]["Conv_0"]["kernel"] = w2
 
@@ -47,9 +47,9 @@ def test_s2d_param_shape_and_fan_in():
     x = jnp.zeros((2, 4, 104, 80), jnp.float32)
     p = Conv2dModel(**GEOM, space_to_depth=True).init(key, x)
     w = p["params"]["Conv_0"]["kernel"]
-    assert w.shape == (2, 2, 64, 32)
+    assert w.shape == (4, 2, 2, 16, 32)
     # fan-in (init variance scale) matches the plain 8*8*4 kernel
-    assert 2 * 2 * 64 == 8 * 8 * 4
+    assert 4 * 2 * 2 * 16 == 8 * 8 * 4
 
 
 def test_s2d_inert_when_geometry_disallows():
@@ -72,4 +72,4 @@ def test_atari_dqn_model_s2d_default_runs():
     q = model.apply(params, obs)
     assert q.shape == (5, 6)
     assert params["params"]["Conv2dModel_0"]["Conv_0"]["kernel"].shape \
-        == (2, 2, 64, 32)
+        == (4, 2, 2, 16, 32)
