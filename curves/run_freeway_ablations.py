@@ -46,6 +46,20 @@ ABLATIONS = {
     # env control: published numbers predate sticky actions
     "no_sticky": {"env": {"sticky_action_prob": 0.0},
                   "eval_env": {"sticky_action_prob": 0.0}},
+    # --- wave 2 (informed by wave 1: n-step helps, double hurts,
+    # RMSprop-eps-0.01 freezes, ratio-32-on-frozen-replay collapses) ---
+    # eps completes the RMSprop story: is it the optimizer or its eps?
+    "rmsprop_eps1e8": {"algo": {"learning_rate": 2.5e-4,
+                                "optim": "rmsprop",
+                                "optim_kwargs": {"decay": 0.95,
+                                                 "eps": 1e-8,
+                                                 "centered": True}}},
+    # moderate update-to-data increase (paper is 32; control is 4)
+    "ratio8": {"algo": {"replay_ratio": 8.0}},
+    # best-of-wave-1 combos pushing toward the published band
+    "nodouble_n5": {"algo": {"double_dqn": False, "n_step_return": 5}},
+    "nodouble_ratio8": {"algo": {"double_dqn": False,
+                                 "replay_ratio": 8.0}},
 }
 
 

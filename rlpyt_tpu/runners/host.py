@@ -555,14 +555,22 @@ class AsyncHostRl(HostMinibatchRl):
             return cpus[-1]  # virtual-mesh testing: separate CPU stream
         return default
 
+    def _to_actor(self, tree):
+        """Copy to the actor device.  When actor and learner share ONE
+        device (plain single-CPU runs), device_put is a no-op VIEW and
+        the learner's donated optimize would invalidate the actor's
+        params mid-step — force a real copy there."""
+        if self._actor_device == self._learner_device:
+            return jax.tree.map(jnp.copy, tree)
+        return jax.device_put(tree, self._actor_device)
+
     def startup(self):
         if self._updates_override is not None:
             self.algo.updates_per_optimize = int(self._updates_override)
         train_state, replay_state = super().startup()
         self._learner_device = jax.devices()[0]
         self._actor_device = self._pick_actor_device()
-        self._actor_params = jax.device_put(train_state.params,
-                                            self._actor_device)
+        self._actor_params = self._to_actor(train_state.params)
         self._carry = jax.device_put(self._carry, self._actor_device)
         if isinstance(self.vec, PairedVecEnv):
             self._alt_carry = [jax.device_put(c, self._actor_device)
@@ -590,8 +598,7 @@ class AsyncHostRl(HostMinibatchRl):
                                                    self._learner_device)
                     ts, rs, opt_info = self._optimize(
                         ts, rs, samples, k, rollout_state)
-                    actor_params = jax.device_put(ts.params,
-                                                  self._actor_device)
+                    actor_params = self._to_actor(ts.params)
                     # Block here (learner thread), not on the actor:
                     # publishing only ready params keeps actor dispatch
                     # free of in-flight learner dependencies.
