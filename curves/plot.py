@@ -34,14 +34,14 @@ def load(csv_path):
 
 def main():
     runs = []
-    for name in sorted(os.listdir(CURVES)):
-        d = os.path.join(CURVES, name)
-        if not os.path.isdir(d):
-            continue
-        for run in sorted(os.listdir(d)):
-            p = os.path.join(d, run, "progress.csv")
-            if os.path.exists(p):
-                runs.append((f"{name}/{run}", p))
+    skip = ("freeway_ablation", "r2d1_ablation", "_compare")
+    for root, _, files in os.walk(CURVES):
+        if "progress.csv" in files:
+            label = os.path.relpath(root, CURVES)
+            if any(s in label for s in skip):
+                continue  # ablation/bench runs are tables in README.md
+            runs.append((label, os.path.join(root, "progress.csv")))
+    runs.sort()
     if not runs:
         print("no progress.csv found")
         return

@@ -60,6 +60,15 @@ ABLATIONS = {
     "nodouble_n5": {"algo": {"double_dqn": False, "n_step_return": 5}},
     "nodouble_ratio8": {"algo": {"double_dqn": False,
                                  "replay_ratio": 8.0}},
+    # --- wave 3: interleave granularity.  The published recipe updates
+    # after EVERY env step; our fused design updates in blocks of
+    # T*B env steps on a frozen replay (2048 at the default B=64 —
+    # where the published batch32/ratio32 collapsed to 1.5).  B=8
+    # shrinks the block to 256 steps; the "pub32" variant then carries
+    # the full published update budget at that granularity.
+    "lanes8": {"sampler": {"batch_B": 8}},
+    "lanes8_pub32": {"sampler": {"batch_B": 8},
+                     "algo": {"batch_size": 32, "replay_ratio": 32.0}},
 }
 
 
@@ -82,6 +91,7 @@ def main():
                      "eval_env": {"game": "freeway",
                                   **spec.get("eval_env", {})},
                      "algo": spec.get("algo", {}),
+                     "sampler": spec.get("sampler", {}),
                      "runner": {"n_steps": 5_000_000}}
         t0 = time.time()
         print(f"=== freeway ablation {name} (base {key}) ===", flush=True)
