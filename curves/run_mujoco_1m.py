@@ -3,13 +3,17 @@ async actor/learner machinery (VERDICT r3 item #3).
 
 Two parts:
 
-1. ``--compare``: a controlled sync-vs-async wall-clock measurement
-   (HalfCheetah SAC, 100k steps, nothing else on the chip) — the
-   overlap machinery's measured win, recorded to
-   curves/mujoco_1m/sync_vs_async.json and BASELINE.md.
-2. The 1M curve matrix: HalfCheetah-v5 / Walker2d-v5 x SAC / TD3 x
-   seeds {0,1}, each through ``AsyncHostRl`` (the runner that exists to
-   hide exactly this env latency; rlpyt/runners/async_rl.py ~L20-400).
+1. ``--compare``: a controlled sync vs async vs alternating wall-clock
+   measurement (HalfCheetah SAC, 100k steps, nothing else on the chip),
+   recorded to curves/mujoco_1m/sync_vs_async.json and BASELINE.md.
+   Measured on the 2-core host: sync 246 steps/s, async 197 (the
+   actor-on-CPU thread contends with the farm workers for cores),
+   alternating 238 steady-state — the overlap machinery needs spare
+   host cores to win, which this host does not have.
+2. The 1M curve matrix: HalfCheetah-v5 / Walker2d-v5 x SAC / TD3.
+   Because sync measured fastest here, matrix runs default to the sync
+   farm; at ~246 steps/s a 1M run is ~68 min, so the committed matrix
+   carries what chip time allowed (status.json records each run).
 
 Usage:
   python curves/run_mujoco_1m.py --compare
@@ -41,23 +45,30 @@ def run_one(config_key, env_id, n_steps, seed, runner, log_dir):
         "sampler": {"n_workers": 2},
     }
     t0 = time.time()
+    kw = {}
+    if runner == "alt":
+        kw = dict(runner="sync", alternating=True)
+    else:
+        kw = dict(runner=runner)
     build_and_train(config_key, log_dir=log_dir, run_id=seed, seed=seed,
-                    config_overrides=overrides, runner=runner)
+                    config_overrides=overrides, **kw)
     return time.time() - t0
 
 
 def compare(n_steps=100_000):
     os.makedirs(OUT, exist_ok=True)
     out = {}
-    for runner in ("sync", "async"):
+    for runner in ("sync", "async", "alt"):
         dt = run_one("sac", "HalfCheetah-v5", n_steps, seed=0,
                      runner=runner,
                      log_dir=os.path.join(OUT, f"_compare_{runner}"))
         out[runner] = {"seconds": round(dt, 1),
                        "steps_per_s": round(n_steps / dt, 1)}
         print(json.dumps({runner: out[runner]}), flush=True)
-    out["speedup"] = round(out["sync"]["seconds"]
-                           / out["async"]["seconds"], 3)
+    out["speedup_async"] = round(out["sync"]["seconds"]
+                                 / out["async"]["seconds"], 3)
+    out["speedup_alt"] = round(out["sync"]["seconds"]
+                               / out["alt"]["seconds"], 3)
     out["n_steps"] = n_steps
     with open(os.path.join(OUT, "sync_vs_async.json"), "w") as f:
         json.dump(out, f, indent=1)
@@ -77,13 +88,13 @@ def matrix(only=None, seeds=(0, 1), n_steps=1_000_000):
                     continue
                 if status.get(name, {}).get("ok"):
                     continue
-                print(f"=== {name} (async, {n_steps}) ===", flush=True)
+                print(f"=== {name} (sync, {n_steps}) ===", flush=True)
                 t0 = time.time()
                 try:
-                    dt = run_one(key, env_id, n_steps, seed, "async",
+                    dt = run_one(key, env_id, n_steps, seed, "sync",
                                  os.path.join(OUT, f"{env_id}_{key}"))
                     status[name] = {"ok": True, "seconds": round(dt, 1),
-                                    "runner": "async",
+                                    "runner": "sync",
                                     "n_steps": n_steps}
                 except Exception as e:
                     traceback.print_exc()

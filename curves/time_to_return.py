@@ -38,6 +38,7 @@ TARGETS = {
     # the 10M committed budget and is still climbing (curves/README.md).
     "minatar_breakout_r2d1": 4.0,
     "minatar_space_invaders_r2d1": 18.0,
+    "minatar_breakout_lstm_a2c": 4.0,
     "mujoco_HalfCheetah-v5_sac": 2000.0,
     "mujoco_HalfCheetah-v5_td3": 1500.0,
     "mujoco_Walker2d-v5_sac": 800.0,

@@ -8,7 +8,8 @@ import sys
 
 from rlpyt_tpu.agents.qpg import DdpgAgent, SacAgent, Td3Agent
 from rlpyt_tpu.algos.qpg import DDPG, SAC, TD3
-from rlpyt_tpu.envs.host import SharedMemVecEnv, SerialVecEnv
+from rlpyt_tpu.envs.host import (PairedVecEnv, SerialVecEnv,
+                                 SharedMemVecEnv)
 from rlpyt_tpu.experiments.configs.mujoco_qpg import configs
 from rlpyt_tpu.runners.host import AsyncHostRl, HostMinibatchRl
 from rlpyt_tpu.utils.logging import logger_context
@@ -20,10 +21,14 @@ ALGOS = {"sac": SAC, "td3": TD3, "ddpg": DDPG}
 
 def build_and_train(config_key: str = "sac", log_dir=None, run_id: int = 0,
                     seed: int = 0, variant=None, config_overrides=None,
-                    serial: bool = False, runner: str = "sync"):
+                    serial: bool = False, runner: str = "sync",
+                    alternating: bool = False):
     """``runner``: "sync" (HostMinibatchRl) or "async" (AsyncHostRl —
     learner thread overlaps env stepping, the reference AsyncRl
-    topology, rlpyt/runners/async_rl.py ~L20-400)."""
+    topology, rlpyt/runners/async_rl.py ~L20-400).  ``alternating``:
+    paired farm halves stepped out of phase so each half's env
+    simulation overlaps the other half's batched device inference
+    (rlpyt AlternatingSampler)."""
     config = copy.deepcopy(configs[config_key])
     if variant is not None:
         config = update_config(config, variant)
@@ -32,8 +37,17 @@ def build_and_train(config_key: str = "sac", log_dir=None, run_id: int = 0,
 
     sampler = config["sampler"]
     VecCls = SerialVecEnv if serial else SharedMemVecEnv
-    farm = VecCls([config["env"]["id"]] * sampler["batch_B"],
-                  n_workers=sampler.get("n_workers", 0), seed=seed)
+    if alternating:
+        half = sampler["batch_B"] // 2
+        n_w = max(1, sampler.get("n_workers", 0) // 2)
+        farm = PairedVecEnv(
+            VecCls([config["env"]["id"]] * half, n_workers=n_w,
+                   seed=seed),
+            VecCls([config["env"]["id"]] * (sampler["batch_B"] - half),
+                   n_workers=n_w, seed=seed + 5_000))
+    else:
+        farm = VecCls([config["env"]["id"]] * sampler["batch_B"],
+                      n_workers=sampler.get("n_workers", 0), seed=seed)
     eval_farm = None
     if sampler.get("eval_n_envs", 0) > 0:
         eval_farm = VecCls(
