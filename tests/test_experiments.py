@@ -43,7 +43,7 @@ def test_configs_importable():
     from rlpyt_tpu.experiments.configs.minatar_dqn import configs as dqn_cfgs
     from rlpyt_tpu.experiments.configs.minatar_pg import configs as pg_cfgs
     assert set(dqn_cfgs) == {"dqn", "dqn_pub", "ernbw", "r2d1"}
-    assert set(pg_cfgs) == {"a2c", "ppo"}
+    assert set(pg_cfgs) == {"a2c", "ppo", "lstm_a2c", "lstm_ppo"}
     for cfg in list(dqn_cfgs.values()) + list(pg_cfgs.values()):
         assert {"agent", "model", "algo", "env", "runner",
                 "sampler"} <= set(cfg)
