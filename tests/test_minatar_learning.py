@@ -45,3 +45,28 @@ def test_dqn_learns_minatar_breakout():
     ts = state.traj_stats
     avg = float(ts.sum_return) / max(int(ts.completed), 1)
     assert avg > 2.0, f"DQN failed on MinAtar breakout: eval return {avg}"
+
+
+@pytest.mark.slow
+def test_lstm_a2c_learns_minatar_breakout():
+    """Recurrent PG on the MinAtar conv path (the lstm_a2c config
+    family; curve artifact in curves/minatar_breakout_lstm_a2c):
+    small-budget learning threshold above the ~0.5 random baseline."""
+    from rlpyt_tpu.experiments.scripts.minatar_pg import build_and_train
+
+    runner, carry = build_and_train(
+        "lstm_a2c", seed=3,
+        config_overrides={
+            "runner": {"n_steps": 400_000, "log_interval_steps": 200_000},
+            "sampler": {"batch_T": 16, "batch_B": 64, "eval_n_envs": 0,
+                        "max_decorrelation_steps": 50}})
+    ts = carry.rollout_state.traj_stats
+    # online stats were reset at the last interval boundary; use a fresh
+    # greedy eval rollout instead
+    ev = Collector(runner.env, runner.agent, BatchSpec(600, 16),
+                   discount=0.99)
+    state = ev.init_state(jax.random.key(9))
+    state, _ = ev.collect(carry.train_state.params, state, is_eval=True)
+    s = state.traj_stats
+    avg = float(s.sum_return) / max(1, int(s.completed))
+    assert avg > 1.5, f"lstm_a2c failed to learn breakout: {avg}"
