@@ -113,7 +113,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    results = {}
+    # Merge into the existing ledger: --only / per-seed invocations must
+    # not clobber previously recorded runs.
+    status_path = os.path.join(CURVES, "sweep_status.json")
+    results = (json.load(open(status_path))
+               if os.path.exists(status_path) else {})
     for name, fn in sweep(args.seed):
         if args.only and args.only not in name:
             continue
