@@ -155,7 +155,7 @@ def build_runner(B: int, T: int, update_batch: int, replay_ratio: float,
                target_update_interval=2_500, learning_rate=2.5e-4,
                double_dqn=True, n_step_return=1,
                frame_buffer=True, frames_per_obs=K,
-               pallas_frame_gather=True)
+               blocked_frame_sampling=True)
     runner = MinibatchRl(algo=algo, agent=agent, env=make_env(),
                          batch_spec=BatchSpec(T=T, B=B),
                          n_steps=20 * T * B, seed=0,

@@ -69,6 +69,32 @@ ABLATIONS = {
     "lanes8": {"sampler": {"batch_B": 8}},
     "lanes8_pub32": {"sampler": {"batch_B": 8},
                      "algo": {"batch_size": 32, "replay_ratio": 32.0}},
+    # --- wave 4 (VERDICT r4 item #1): the exploration-geometry
+    # hypothesis named by waves 1-3's README — 64 lockstep lanes anneal
+    # ε within ~1,562 steps/lane, under one 2,500-step Freeway episode,
+    # so every lane leaves its random-exploration phase before finishing
+    # a single episode.  All on the wave-1 best base (no_double, 33.5).
+    # (a) stretch the anneal across many episodes per lane
+    "eps1m": {"algo": {"double_dqn": False},
+              "agent": {"eps_steps": 1_000_000}},
+    "eps3m": {"algo": {"double_dqn": False},
+              "agent": {"eps_steps": 3_000_000}},
+    # (b) lower the post-anneal floor after the long anneal
+    "eps1m_f05": {"algo": {"double_dqn": False},
+                  "agent": {"eps_steps": 1_000_000, "eps_final": 0.05}},
+    "eps1m_f01": {"algo": {"double_dqn": False},
+                  "agent": {"eps_steps": 1_000_000, "eps_final": 0.01}},
+    # (c) vector-ε spread (Ape-X/R2D1 geometry, already implemented for
+    # R2D1 via eps_final_min): per-lane finals log-spaced 0.4..0.0016
+    "vecspread": {"algo": {"double_dqn": False},
+                  "agent": {"eps_final": 0.4, "eps_final_min": 0.0016}},
+    "vecspread_mild": {"algo": {"double_dqn": False},
+                       "agent": {"eps_final": 0.1,
+                                 "eps_final_min": 0.001}},
+    # (d) phase-decorrelate lanes across Freeway's fixed 2,500-step
+    # episodes (control: decorrelation alone, no ε change)
+    "decor2500": {"algo": {"double_dqn": False},
+                  "sampler": {"max_decorrelation_steps": 2_500}},
 }
 
 
@@ -90,6 +116,7 @@ def main():
                              **spec.get("env", {})},
                      "eval_env": {"game": "freeway",
                                   **spec.get("eval_env", {})},
+                     "agent": spec.get("agent", {}),
                      "algo": spec.get("algo", {}),
                      "sampler": spec.get("sampler", {}),
                      "runner": {"n_steps": 5_000_000}}

@@ -58,9 +58,10 @@ class DQN(RlAlgorithm):
         pri_beta: float = 0.4,
         frame_buffer: bool = False,
         frames_per_obs: int = 4,
-        pallas_frame_gather: bool = False,
+        blocked_frame_sampling: bool = False,
         optim: str = "adam",
         optim_kwargs: dict | None = None,
+        pallas_frame_gather: bool | None = None,
     ):
         self.discount = discount
         self.batch_size = batch_size
@@ -79,7 +80,18 @@ class DQN(RlAlgorithm):
         self.pri_beta = pri_beta
         self.frame_buffer = frame_buffer
         self.frames_per_obs = frames_per_obs
-        self.pallas_frame_gather = pallas_frame_gather
+        if pallas_frame_gather is not None:
+            # Deprecated alias: the shipped path is the blocked-row XLA
+            # gather (replay/frame.py blocked_s2d), not the experimental
+            # Pallas kernel, so the old name was misleading.
+            import warnings
+            warnings.warn(
+                "pallas_frame_gather is deprecated; use "
+                "blocked_frame_sampling (the shipped path is the "
+                "blocked-row XLA gather)", DeprecationWarning,
+                stacklevel=2)
+            blocked_frame_sampling = pallas_frame_gather
+        self.blocked_frame_sampling = blocked_frame_sampling
         self.optim = optim
         self.optim_kwargs = dict(optim_kwargs or {})
 
@@ -129,15 +141,22 @@ class DQN(RlAlgorithm):
             kwargs.update(alpha=self.pri_alpha, beta=self.pri_beta)
         if self.frame_buffer:
             kwargs.update(frames_per_obs=self.frames_per_obs)
-            if self.pallas_frame_gather:
-                # Fused gather emits the model's space-to-depth layout;
-                # needs the model's first-layer stride (same params
-                # serve raw rollout obs and blocked replay obs).
+            if self.blocked_frame_sampling:
+                # Blocked-row sampling emits the model's space-to-depth
+                # layout; needs the model's first-layer stride (same
+                # params serve raw rollout obs and blocked replay obs).
                 model = agent.model
                 assert getattr(model, "space_to_depth", False), (
-                    "pallas_frame_gather requires a space_to_depth "
+                    "blocked_frame_sampling requires a space_to_depth "
                     "model (models/conv.py)")
-                kwargs.update(blocked_s2d=int(model.strides[0]))
+                k0 = int(model.kernel_sizes[0])
+                s0 = int(model.strides[0])
+                p0 = int((model.paddings or [0])[0])
+                assert s0 > 1 and k0 % s0 == 0 and p0 == 0, (
+                    "blocked_frame_sampling requires an s2d-able first "
+                    f"conv: stride>1, kernel % stride == 0, padding 0 "
+                    f"(got k={k0}, s={s0}, p={p0})")
+                kwargs.update(blocked_s2d=s0)
         self.replay = ReplayCls(**kwargs)
 
         example = SamplesToBuffer(

@@ -1,4 +1,12 @@
-"""Fused frame-stack gather kernel (TPU Pallas).
+"""Fused frame-stack gather kernel (TPU Pallas) — EXPERIMENTAL, does
+NOT ship.
+
+On real v5e hardware Mosaic rejects the kernel's single-lane row slices
+(HBM tiling rules), so the production path is the blocked-row XLA gather
+in replay/frame.py (``_obs_pair_blocked``), which reuses this module's
+``block_frame_rows`` insert-time layout and ``BlockedFrames`` container.
+The kernel itself runs only in interpret mode (tests) and is kept as the
+starting point for a lane-padded Mosaic-legal variant.
 
 The frame-compressed replay's sample path is the flagship DQN program's
 top cost: reconstructing two K-frame stacks (agent + target) per sampled

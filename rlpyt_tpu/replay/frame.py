@@ -29,14 +29,15 @@ class FrameReplayMixin:
     """Compose left of a replay class: strips stacks to newest-frame at
     insert, reconstructs at sample.
 
-    ``blocked_s2d``: when set to the first conv's stride s, sampling
-    runs the fused Pallas gather (ops/pallas/frame_gather.py) and
-    returns ``BlockedFrames`` observations already in the
-    space-to-depth conv layout — one DMA per sample instead of the XLA
-    gather/select/concat/transpose chain.  Requires a single bare-array
-    [K, H, W] observation with H, W divisible by s; the ring then
-    carries K-1+n ghost rows mirroring its first rows so every union
-    window is contiguous."""
+    ``blocked_s2d``: when set to the first conv's stride s, rows are
+    stored pre-blocked in the space-to-depth conv layout and sampling is
+    ONE row gather + reshapes, returning ``BlockedFrames`` observations
+    — no per-frame selects, no stack concatenate, no in-model s2d
+    relayout.  This is the blocked-row XLA gather path; the fused Pallas
+    DMA kernel (ops/pallas/frame_gather.py) is experimental and does NOT
+    ship (Mosaic rejects its single-lane row slices on real hardware).
+    Requires a single bare-array [K, H, W] observation with H, W
+    divisible by s."""
 
     def __init__(self, *args, frames_per_obs: int = 4,
                  blocked_s2d: int | None = None, **kwargs):
@@ -44,12 +45,6 @@ class FrameReplayMixin:
         self.frames_per_obs = frames_per_obs
         self.off_forward = max(self.off_forward, frames_per_obs - 1)
         self.blocked_s2d = blocked_s2d
-        self.ghost_rows = (frames_per_obs - 1 + self.n_step
-                           if blocked_s2d else 0)
-        if blocked_s2d:
-            assert self.ghost_rows <= self.sample_T, (
-                "ghost mirror needs K-1+n <= sample_T (one append block "
-                "covers the mirrored rows)")
 
     def init(self, example: SamplesToBuffer):
         # example.observation: [K, H, W] → store a single [H, W] frame.
@@ -59,15 +54,10 @@ class FrameReplayMixin:
         if self.blocked_s2d:
             assert len(jax.tree.leaves(example.observation)) == 1, (
                 "blocked_s2d needs a single bare-array observation")
-            leaf = jax.tree.leaves(state.data.observation)[0]
             self._frame_hw = jax.tree.leaves(example.observation)[0].shape[-2:]
             H, W = self._frame_hw
             s = self.blocked_s2d
             assert H % s == 0 and W % s == 0, (H, W, s)
-            ghosted = jnp.zeros((self.size_T + self.ghost_rows,)
-                                + leaf.shape[1:], leaf.dtype)
-            state = state._replace(
-                data=state.data._replace(observation=ghosted))
         return state
 
     def append(self, state, samples: SamplesToBuffer):
@@ -83,23 +73,7 @@ class FrameReplayMixin:
                 observation=jax.tree.map(
                     lambda o: block_frame_rows(o, self.blocked_s2d),
                     samples.observation))
-        t_before = state.t
-        state = super().append(state, samples)
-        if self.blocked_s2d:
-            # Mirror rows [0, ghost) at [size_T, size_T+ghost) so union
-            # windows never wrap.  The block written at t_before==0
-            # covers those rows; for any other t_before this re-writes
-            # the same rows with the same data (no-op by construction).
-            gh = self.ghost_rows
-            obs_rows = jax.tree.leaves(self._flatten_obs(
-                samples.observation, lead=2))[0][:gh]
-            ring = jax.tree.leaves(state.data.observation)[0]
-            start = jnp.where(t_before == 0, self.size_T, t_before)
-            ring = jax.lax.dynamic_update_slice_in_dim(
-                ring, obs_rows, start, axis=0)
-            state = state._replace(
-                data=state.data._replace(observation=ring))
-        return state
+        return super().append(state, samples)
 
     def _stack_masks(self, dones_u, starts):
         """Validity masks from the union done rows.  ``dones_u`` is
@@ -129,6 +103,7 @@ class FrameReplayMixin:
         fuses it into the consumer's uint8→compute-dtype convert instead
         of materializing K-1 full-frame selects (measured on v5e at
         B=4096: the select/pad/copy chain was ~40% of DQN update time)."""
+        assert t_idx.ndim == 1, "union gather expects 1-D (t, b) indices"
         d = state.data
         K = self.frames_per_obs
         U = K + n_extra                              # union window length
@@ -185,6 +160,7 @@ class FrameReplayMixin:
         the shipping path."""
         from rlpyt_tpu.ops.pallas.frame_gather import BlockedFrames
 
+        assert t_idx.ndim == 1, "blocked sampling expects 1-D indices"
         d = state.data
         K = self.frames_per_obs
         n = self.n_step
@@ -200,7 +176,7 @@ class FrameReplayMixin:
         dones_u = d.done[rows_u[:, :-1], b2]
         mask_a, mask_t = self._stack_masks(dones_u, (0, n))
 
-        ring = jax.tree.leaves(d.observation)[0]  # [size_T+gh, B, F]
+        ring = jax.tree.leaves(d.observation)[0]  # [size_T, B, F]
         # Per-row gather (~73 GB/s on v5e, descriptor-bound on 8 KB
         # rows — measured faster than a vmapped U-row dynamic_slice,
         # which XLA lowers far worse despite fewer descriptors).
