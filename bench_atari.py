@@ -134,9 +134,12 @@ def nature_cnn_fwd_flops(h=H, w=W, k_in=K,
 
 
 def build_runner(B: int, T: int, update_batch: int, replay_ratio: float,
-                 replay_size: int = 200_000):
+                 replay_size: int = 200_000, RunnerCls=None,
+                 n_intervals: int = 20, logger=None, **runner_kwargs):
     """Build the fused Nature-CNN flagship program at one geometry
-    (shared by run_config and bench_profile.py)."""
+    (shared by run_config, bench_profile.py and bench_async.py).
+    ``RunnerCls`` defaults to MinibatchRl; pass AsyncRl (+ its kwargs)
+    for the pipelined-runner comparison."""
     import jax.numpy as jnp
 
     from rlpyt_tpu.agents.dqn import DqnAgent
@@ -145,6 +148,8 @@ def build_runner(B: int, T: int, update_batch: int, replay_ratio: float,
     from rlpyt_tpu.runners.train import MinibatchRl
     from rlpyt_tpu.samplers.rollout import BatchSpec
 
+    if RunnerCls is None:
+        RunnerCls = MinibatchRl
     agent = DqnAgent(
         ModelCls=AtariDqnModel,
         model_kwargs=dict(dueling=False, compute_dtype=jnp.bfloat16),
@@ -156,11 +161,13 @@ def build_runner(B: int, T: int, update_batch: int, replay_ratio: float,
                double_dqn=True, n_step_return=1,
                frame_buffer=True, frames_per_obs=K,
                blocked_frame_sampling=True)
-    runner = MinibatchRl(algo=algo, agent=agent, env=make_env(),
-                         batch_spec=BatchSpec(T=T, B=B),
-                         n_steps=20 * T * B, seed=0,
-                         log_interval_steps=T * B,
-                         max_decorrelation_steps=0)
+    if logger is not None:
+        runner_kwargs["logger"] = logger
+    runner = RunnerCls(algo=algo, agent=agent, env=make_env(),
+                       batch_spec=BatchSpec(T=T, B=B),
+                       n_steps=n_intervals * T * B, seed=0,
+                       log_interval_steps=T * B,
+                       max_decorrelation_steps=0, **runner_kwargs)
     return runner
 
 

@@ -41,8 +41,10 @@ def time_it(fn, *args, iters=20, warmup=2):
 
 
 def parse_trace(logdir):
-    """Aggregate device-side op durations from the Perfetto JSON trace
-    jax.profiler writes (one 'X' event per HLO op execution)."""
+    """Aggregate EXCLUSIVE (self) device-side op durations from the
+    Perfetto JSON trace jax.profiler writes.  Parent spans (while /
+    conditional / fusion wrappers) have the time of their children
+    subtracted, so categories sum to device-busy time, not 5x it."""
     paths = sorted(glob.glob(os.path.join(
         logdir, "plugins", "profile", "*", "*.trace.json.gz")))
     if not paths:
@@ -50,24 +52,62 @@ def parse_trace(logdir):
     with gzip.open(paths[-1], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    proc_name = {}
+    proc_name, thread_name = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             proc_name[e["pid"]] = e.get("args", {}).get("name", "")
+        elif e.get("name") == "thread_name":
+            thread_name[(e["pid"], e.get("tid"))] = (
+                e.get("args", {}).get("name", ""))
     device_pids = {pid for pid, n in proc_name.items()
                    if "TPU" in n or "/device" in n.lower() or "GPU" in n}
     if not device_pids:  # CPU backend: one '/host:CPU' process
         device_pids = set(proc_name)
-    per_op = defaultdict(float)
-    t_min, t_max = float("inf"), 0.0
+    # Track selection: "XLA Modules" / "Steps" tracks duplicate the op
+    # tracks wholesale; keep only op-level tracks when names are known.
+    tracks = defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
-        dur = float(e.get("dur", 0.0))
-        per_op[e.get("name", "?")] += dur
-        ts = float(e.get("ts", 0.0))
-        t_min = min(t_min, ts)
-        t_max = max(t_max, ts + dur)
+        tn = thread_name.get((e["pid"], e.get("tid")), "")
+        if any(k in tn for k in ("XLA Modules", "Steps", "Framework",
+                                 "Source", "Python", "Host")):
+            continue
+        tracks[(e["pid"], e.get("tid"))].append(
+            {"ts": float(e.get("ts", 0.0)),
+             "dur": float(e.get("dur", 0.0)),
+             "name": e.get("name", "?")})
+    if not tracks:
+        return None
+
+    per_op = defaultdict(float)
+    busy = 0.0
+    t_min, t_max = float("inf"), 0.0
+    for evs in tracks.values():
+        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []  # [name, ts, end, direct_child_dur]
+
+        def close_until(ts):
+            nonlocal stack
+            while stack and stack[-1][2] <= ts + 1e-9:
+                name, ts0, end0, child = stack.pop()
+                per_op[name] += max(0.0, (end0 - ts0) - child)
+
+        for e in evs:
+            ts, dur, name = e["ts"], e["dur"], e["name"]
+            end = ts + dur
+            t_min = min(t_min, ts)
+            t_max = max(t_max, end)
+            close_until(ts)
+            if stack and end <= stack[-1][2] + 1e-9:
+                stack[-1][3] += dur          # nested: child of open span
+            else:
+                busy += dur                  # top-level span
+            stack.append([name, ts, end, 0.0])
+        close_until(float("inf"))
+    per_op = {k: v for k, v in per_op.items() if v > 0}
     if not per_op:
         return None
     total = sum(per_op.values())
@@ -79,7 +119,8 @@ def parse_trace(logdir):
                     "transpose", "gather", "scatter", "reduce",
                     "dynamic-update", "dynamic_update", "dynamic-slice",
                     "dynamic_slice", "select", "iota", "broadcast",
-                    "all-reduce", "rng", "fusion"):
+                    "all-reduce", "rng", "fusion", "while",
+                    "conditional", "convert"):
             if key in n:
                 return key
         return "other"
@@ -90,13 +131,18 @@ def parse_trace(logdir):
     top = sorted(per_op.items(), key=lambda kv: -kv[1])[:30]
     return {
         "trace_file": paths[-1],
-        "device_busy_us": total,
-        "device_span_us": wall,
-        "device_busy_frac_of_span": round(total / wall, 4),
+        "basis": "exclusive self-times per track (nested child spans "
+                 "subtracted; module/step tracks excluded)",
+        "device_busy_us": round(busy, 1),
+        "device_span_us": round(wall, 1),
+        "device_busy_frac_of_span": round(busy / wall, 4),
+        "self_time_total_us": round(total, 1),
         "categories_us": {k: round(v, 1) for k, v in
                           sorted(cats.items(), key=lambda kv: -kv[1])},
         "categories_pct": {k: round(100.0 * v / total, 2) for k, v in
                            sorted(cats.items(), key=lambda kv: -kv[1])},
+        "model_math_us": round(cats.get("convolution", 0.0)
+                               + cats.get("dot", 0.0), 1),
         "top_ops": [{"name": n, "us": round(d, 1),
                      "pct": round(100.0 * d / total, 2)}
                     for n, d in top],
@@ -151,6 +197,43 @@ def main():
     obs = batch.agent_inputs[0]
     q_fwd = jax.jit(lambda p, o: algo.agent.q(p, o, *batch.agent_inputs[1:]))
 
+    # The pieces _one_update composes, timed standalone (VERDICT r4
+    # item #3: the ledger must sum to >=90% of one_update).
+    import optax as _optax
+
+    def _opt_step(grads, opt_state, params):
+        updates, opt_state = algo.optimizer.update(grads, opt_state,
+                                                   params)
+        return _optax.apply_updates(params, updates), opt_state
+
+    opt_step = jax.jit(_opt_step)
+
+    def _target_refresh(target, params, counter):
+        return jax.tree.map(
+            lambda t, o: jnp.where(
+                counter % algo.target_update_interval == 0, o, t),
+            target, params)
+
+    target_refresh = jax.jit(_target_refresh)
+    prio_update = jax.jit(
+        lambda rs, idx, td: algo.replay.update_priorities(rs, idx, td))
+
+    def _k_updates(ts, rs, key):
+        keys = jax.random.split(key, algo.updates_per_optimize)
+
+        def body(carry, k):
+            t, r = carry
+            t, r, info = algo._one_update(t, r, k)
+            return (t, r), info.loss
+
+        (ts, rs), losses = jax.lax.scan(body, (ts, rs), keys)
+        return ts, rs, losses
+
+    k_updates = jax.jit(_k_updates)
+
+    (_, td_abs), grads = jax.block_until_ready(
+        vgrad(ts.params, ts.target_params, batch))
+
     comp = {}
     comp["replay_sample_ms"] = time_it(sample, rs, key) * 1e3
     comp["q_fwd_update_batch_ms"] = time_it(q_fwd, ts.params, obs) * 1e3
@@ -158,7 +241,19 @@ def main():
                                   batch) * 1e3
     comp["value_and_grad_ms"] = time_it(vgrad, ts.params, ts.target_params,
                                         batch) * 1e3
+    comp["optimizer_step_ms"] = time_it(opt_step, grads, ts.opt_state,
+                                        ts.params) * 1e3
+    comp["target_refresh_ms"] = time_it(
+        target_refresh, ts.target_params, ts.params,
+        ts.update_counter) * 1e3
+    has_prio = hasattr(batch, "indices") and algo.prioritized_replay
+    if has_prio:
+        comp["priority_update_ms"] = time_it(
+            prio_update, rs, batch.indices, td_abs) * 1e3
     comp["one_update_ms"] = time_it(one_update, ts, rs, key) * 1e3
+    comp["k_updates_scan_per_update_ms"] = time_it(
+        k_updates, ts, rs, key,
+        iters=5) * 1e3 / max(algo.updates_per_optimize, 1)
     comp["rollout_ms"] = time_it(rollout, ts.params,
                                  carry.rollout_state) * 1e3
 
@@ -199,6 +294,39 @@ def main():
                 "priority scatter.",
     }
 
+    # --- update-time ledger (VERDICT r4 item #3) -------------------------
+    parts = ["replay_sample_ms", "value_and_grad_ms", "optimizer_step_ms",
+             "target_refresh_ms"]
+    if has_prio:
+        parts.append("priority_update_ms")
+    parts_sum = sum(comp[p] for p in parts)
+    ledger = {
+        "parts": {p: round(comp[p], 3) for p in parts},
+        "parts_sum_ms": round(parts_sum, 3),
+        "one_update_ms": round(comp["one_update_ms"], 3),
+        "parts_over_one_update": round(
+            parts_sum / comp["one_update_ms"], 3),
+        "in_scan_per_update_ms": round(
+            comp["k_updates_scan_per_update_ms"], 3),
+        "standalone_vs_in_scan": round(
+            comp["one_update_ms"]
+            / comp["k_updates_scan_per_update_ms"], 3),
+        "note": "parts are standalone jits; the fused one_update can be "
+                "faster (XLA fuses across stage boundaries) or slower "
+                "(scan-carried buffers). in_scan_per_update is the "
+                "k-update lax.scan divided by k — the cost the interval "
+                "program actually pays per update.",
+    }
+
+    # bf16 peak by device kind (ADVICE r4: don't hardcode 197);
+    # unknown device (incl. --smoke CPU) -> mfu is null, basis recorded.
+    from bench_atari import PEAK_TFLOPS
+    kind = str(jax.devices()[0].device_kind)
+    peak = next((v for k, v in PEAK_TFLOPS.items()
+                 if k in kind.lower()), None)
+    analytic_interval_tflop = (
+        itrs * (T * B * f + k_upd * ub * 5.0 * f)) / 1e12
+
     # accounting of the interval from components:
     acct = {
         "interval_s": round(interval_s, 4),
@@ -208,22 +336,50 @@ def main():
         "rollout_share_pct": round(
             100 * comp["rollout_ms"] * itrs / (interval_s * 1e3), 1),
         "updates_share_pct_est": round(
-            100 * comp["one_update_ms"] * k_upd * itrs
+            100 * comp["k_updates_scan_per_update_ms"] * k_upd * itrs
             / (interval_s * 1e3), 1),
         "env_steps_per_s": round(itrs * T * B / interval_s, 1),
-        "mfu": round((itrs * (T * B * f + k_upd * ub * 5.0 * f))
-                     / interval_s / 1e12 / 197.0, 4),
+        "peak_tflops": peak,
+        "mfu": (round(analytic_interval_tflop / interval_s / peak, 4)
+                if peak else None),
     }
+
+    # --- in-scan model-math ceiling (VERDICT r4 item #4) -----------------
+    # Exclusive conv+dot time from the trace vs analytic model FLOPs:
+    # if ALL non-model-math time vanished, MFU would be
+    # analytic_flops / (model_math_time * peak).
+    ceiling = None
+    if trace_summary and peak:
+        mm_us = trace_summary.get("model_math_us", 0.0)
+        if mm_us > 0:
+            ceiling = {
+                "model_math_us_per_interval": mm_us,
+                "analytic_model_tflop_per_interval": round(
+                    analytic_interval_tflop, 3),
+                "model_math_achieved_tflops": round(
+                    analytic_interval_tflop / (mm_us * 1e-6), 1),
+                "model_math_mfu_ceiling": round(
+                    analytic_interval_tflop / (mm_us * 1e-6) / peak, 4),
+                "model_math_share_of_busy": round(
+                    mm_us / max(trace_summary["self_time_total_us"],
+                                1e-9), 4),
+                "basis": "exclusive convolution+dot self-time over one "
+                         "traced interval; fusions that contain dots "
+                         "are not counted as model math (lower-bounds "
+                         "model time, upper-bounds the ceiling)",
+            }
 
     out = {
         "geometry": {"B": B, "T": T, "update_batch": ub,
                      "replay_ratio": 8.0,
                      "updates_per_optimize": k_upd},
         "components_ms": {k: round(v, 3) for k, v in comp.items()},
+        "update_time_ledger": ledger,
         "interval_accounting": acct,
+        "model_math_ceiling": ceiling,
         "fwd_unit_reconciliation": recon,
         "trace": trace_summary,
-        "device": str(jax.devices()[0].device_kind),
+        "device": kind,
     }
     print(json.dumps(out, indent=1))
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -95,6 +95,23 @@ ABLATIONS = {
     # episodes (control: decorrelation alone, no ε change)
     "decor2500": {"algo": {"double_dqn": False},
                   "sampler": {"max_decorrelation_steps": 2_500}},
+    # --- wave 5: combinations of the wave-4 winners (each bought
+    # +2-6 alone: eps1m_f01 39.3, vecspread 40.0 vs no_double 33.5),
+    # plus the one geometry never tested — the published recipe at its
+    # OWN serial geometry (batch_B=1, 1 update per env step), which is
+    # the exact cadence Young & Tian ran; every prior "pub" variant ran
+    # it on 8-64 lockstep lanes.
+    "combo_v": {"algo": {"double_dqn": False},
+                "agent": {"eps_steps": 3_000_000, "eps_final": 0.4,
+                          "eps_final_min": 0.0016},
+                "sampler": {"max_decorrelation_steps": 2_500}},
+    "combo_vn": {"algo": {"double_dqn": False, "n_step_return": 5},
+                 "agent": {"eps_steps": 3_000_000, "eps_final": 0.4,
+                           "eps_final_min": 0.0016},
+                 "sampler": {"max_decorrelation_steps": 2_500}},
+    "lanes1_pub32": {"config_key": "dqn_pub",
+                     "sampler": {"batch_B": 1, "eval_n_envs": 8,
+                                 "eval_max_steps": 24_000}},
 }
 
 

@@ -34,6 +34,24 @@ ABLATIONS = {
     "eta_05": {"algo": {"pri_eta": 0.5}},
     "lr_1e4": {"algo": {"learning_rate": 1e-4}},
     "target_2500": {"algo": {"target_update_interval": 2_500}},
+    # --- round 5 (VERDICT r4 item #5): deconflate recurrence from head
+    # capacity / target transform in the 16.4-vs-3.7 ernbw-vs-r2d1 gap.
+    # Note the r2d1 model head is ALREADY dueling (models/dqn.py
+    # AtariR2d1Model dueling=True default), so the missing controls are
+    # on the other axes:
+    # (a) ernbw minus C51 = plain dueling Double-DQN + PER, ff — what
+    #     does the distributional head buy the ff combo?
+    "ernbw_noc51": {"config_key": "dqn",
+                    "model": {"dueling": True},
+                    "algo": {"prioritized_replay": True,
+                             "pri_alpha": 0.5, "pri_beta": 0.4}},
+    # (b) value rescaling off: h/h⁻¹ compress MinAtar-scale values
+    #     (h(1)=0.415) — is the transform costing the recurrent combo?
+    "norescale": {"algo": {"use_value_rescale": False}},
+    # (c) Atari-scale discount 0.997 -> the ff combo's 0.99
+    "disc099": {"algo": {"discount": 0.99}},
+    # (d) reverse head control: r2d1 without dueling
+    "nodueling": {"model": {"dueling": False}},
 }
 
 N_STEPS = 5_000_000
@@ -57,12 +75,14 @@ def main():
             continue
         overrides = {"env": {"game": "breakout"},
                      "eval_env": {"game": "breakout"},
+                     "model": spec.get("model", {}),
                      "algo": spec.get("algo", {}),
                      "runner": {"n_steps": N_STEPS}}
+        key = spec.get("config_key", "r2d1")
         t0 = time.time()
-        print(f"=== r2d1 ablation {name} ===", flush=True)
+        print(f"=== r2d1 ablation {name} (base {key}) ===", flush=True)
         try:
-            build_and_train("r2d1", log_dir=os.path.join(OUT, name),
+            build_and_train(key, log_dir=os.path.join(OUT, name),
                             run_id=0, seed=0, config_overrides=overrides)
             status[name] = {"ok": True, "seconds": time.time() - t0,
                             "delta": spec}

@@ -66,6 +66,7 @@ class R2D1(RlAlgorithm):
         pri_eta: float = 0.9,
         input_priorities: bool = True,
         value_scale_eps: float = 1e-3,
+        use_value_rescale: bool = True,
         frame_compress: bool = False,
         frames_per_obs: int = 4,
         mask_after_done: bool = False,
@@ -90,6 +91,10 @@ class R2D1(RlAlgorithm):
         self.pri_eta = pri_eta
         self.input_priorities = input_priorities
         self.value_scale_eps = value_scale_eps
+        # Ablation knob: h/h⁻¹ were designed for raw-Atari reward
+        # scales; at MinAtar scale the compression may cost more than
+        # it buys.  False ⇒ identity transforms (plain n-step targets).
+        self.use_value_rescale = use_value_rescale
         self.frame_compress = frame_compress
         self.frames_per_obs = frames_per_obs
         # rlpyt masks every step after the first done in the training
@@ -103,6 +108,14 @@ class R2D1(RlAlgorithm):
         # set mask_after_done=True for strict reference behavior.
         self.mask_after_done = mask_after_done
         self.zero_state_init = zero_state_init
+
+    def _h(self, x):
+        return (value_rescale(x, self.value_scale_eps)
+                if self.use_value_rescale else x)
+
+    def _h_inv(self, x):
+        return (value_rescale_inv(x, self.value_scale_eps)
+                if self.use_value_rescale else x)
 
     # ------------------------------------------------------------------
 
@@ -174,10 +187,9 @@ class R2D1(RlAlgorithm):
         max_next = jnp.max(q, axis=-1)
         next_max = jnp.concatenate([max_next[1:], max_next[-1:]], axis=0)
         nonterminal = 1.0 - samples.done.astype(jnp.float32)
-        target = value_rescale(
+        target = self._h(
             samples.reward + self.discount * nonterminal
-            * value_rescale_inv(next_max, self.value_scale_eps),
-            self.value_scale_eps)
+            * self._h_inv(next_max))
         delta = jnp.abs(target - qa)         # [T, B]
         iv = self.replay.interval
         T = delta.shape[0]
@@ -251,10 +263,8 @@ class R2D1(RlAlgorithm):
         return_, done_n = discount_return_n_step(rew, dn, n, self.discount)
         disc = self.discount ** n
         nonterminal = 1.0 - done_n.astype(jnp.float32)
-        eps = self.value_scale_eps
-        y = value_rescale(
-            return_ + disc * nonterminal * value_rescale_inv(next_q, eps),
-            eps)
+        y = self._h(
+            return_ + disc * nonterminal * self._h_inv(next_q))
         delta = jax.lax.stop_gradient(y) - q
 
         if self.mask_after_done:
