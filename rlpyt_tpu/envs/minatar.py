@@ -484,7 +484,21 @@ _FW_TIME_LIMIT = 2500
 
 class Freeway(MinAtarEnv):
     """MinAtar Freeway: cross 8 lanes of traffic upward; +1 per crossing.
-    Channels: 0 chicken, 1 car, 2-6 car trails by speed (period 1-5)."""
+    Channels: 0 chicken, 1 car, 2-6 car trails by speed (period 1-5).
+
+    Round-5 parity fix: earlier rounds shipped a materially HARDER game
+    than the published spec (MinAtar freeway.py), which capped every DQN
+    variant at ~30-40 vs the published ~50-60 band: (1) the chicken's
+    move cooldown decremented only on non-move steps, giving a move
+    every 4 frames — the reference decrements the timer at the end of
+    the SAME step it is set (``move_timer -= move_timer>0``), so the
+    chicken moves every 3; (2) cars ticked every ``period`` frames —
+    the reference moves a car when its timer reaches 0 AFTER ``period``
+    decrements, i.e. every ``period+1`` frames; (3) cars spawned and
+    respawned at random x — the reference spawns every car at x=0,
+    granting a grace window at the chicken column after each crossing;
+    (4) trail cells clipped at the edges instead of wrapping.  The max
+    crossing ceiling moves from ~2500/36 to ~2500/27 episodes."""
 
     n_channels = 7
 
@@ -493,10 +507,11 @@ class Freeway(MinAtarEnv):
         super().__init__(sticky_action_prob, ramping, max_steps)
 
     def _randomize_cars(self, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2 = jax.random.split(key, 2)
         period = jax.random.randint(k1, (8,), 1, 6)
         direction = 2 * jax.random.randint(k2, (8,), 0, 2) - 1
-        x = jax.random.randint(k3, (8,), 0, 10)
+        # Reference _randomize_cars: every car (re)spawns at x=0.
+        x = jnp.zeros((8,), I32)
         return x, direction, period
 
     def reset(self, key, params=None):
@@ -505,7 +520,7 @@ class Freeway(MinAtarEnv):
             pos=jnp.asarray(9, I32),
             car_x=x.astype(I32), car_dir=direction.astype(I32),
             car_period=period.astype(I32), car_timer=period.astype(I32),
-            move_timer=jnp.asarray(0, I32),
+            move_timer=jnp.asarray(_FW_PLAYER_SPEED, I32),
             last_action=jnp.asarray(0, I32),
             t=jnp.asarray(0, I32),
         )
@@ -516,7 +531,7 @@ class Freeway(MinAtarEnv):
         obs = obs.at[0, s.pos, 4].set(1)
         rows = jnp.arange(8) + 1
         obs = obs.at[1, rows, s.car_x].set(1)
-        back_x = jnp.clip(s.car_x - s.car_dir, 0, 9)
+        back_x = (s.car_x - s.car_dir) % 10   # reference wraps trails
         trail_ch = 1 + s.car_period  # periods 1..5 → channels 2..6
         obs = obs.at[trail_ch, rows, back_x].set(1)
         return obs
@@ -530,28 +545,40 @@ class Freeway(MinAtarEnv):
         move_down = can_move & (a == DOWN)
         pos = jnp.clip(s.pos - move_up.astype(I32) + move_down.astype(I32),
                        0, 9)
-        move_timer = jnp.where(move_up | move_down, _FW_PLAYER_SPEED,
+        # Reference sets the timer to player_speed on a move and then
+        # decrements it at the end of the SAME step (freeway.py act:
+        # ``move_timer -= move_timer>0``) → a move every 3 frames.
+        move_timer = jnp.where(move_up | move_down, _FW_PLAYER_SPEED - 1,
                                jnp.maximum(s.move_timer - 1, 0))
 
-        # Cars advance on their periods (wraparound)
-        tick = s.car_timer - 1 == 0
-        car_x = jnp.where(tick, (s.car_x + s.car_dir) % 10, s.car_x)
-        car_timer = jnp.where(tick, s.car_period, s.car_timer - 1)
-
-        # Collision: any car in the chicken's cell (col 4) → back to start
-        rows = jnp.arange(8) + 1
-        hit = jnp.any((rows == pos) & (car_x == 4))
-        pos = jnp.where(hit, 9, pos)
-
-        # Scored a crossing: +1, respawn chicken, re-randomize traffic
+        # Win check BEFORE cars update (reference order): +1, chicken
+        # respawns, traffic re-randomizes with all cars back at x=0.
         scored = pos == 0
         reward = scored.astype(F32)
         rx, rdir, rper = self._randomize_cars(k_cars)
-        car_x = jnp.where(scored, rx, car_x)
+        car_x = jnp.where(scored, rx, s.car_x)
         car_dir = jnp.where(scored, rdir, s.car_dir)
         car_period = jnp.where(scored, rper, s.car_period)
-        car_timer = jnp.where(scored, rper, car_timer)
+        car_timer = jnp.where(scored, rper, s.car_timer)
         pos = jnp.where(scored, 9, pos)
+
+        rows = jnp.arange(8) + 1
+        # Pre-move collision (reference checks car[0:2]==[4,pos] before
+        # each car advances: the chicken stepping INTO a parked car dies
+        # even if that car moves away this frame).
+        hit_pre = jnp.any((rows == pos) & (car_x == 4))
+        pos = jnp.where(hit_pre, 9, pos)
+
+        # Cars advance when their timer reaches 0 after ``period``
+        # decrements — one move every period+1 frames (reference
+        # freeway.py: ``if car[2]==0: move; car[2]=abs(speed) else:
+        # car[2]-=1``), with wraparound.
+        tick = car_timer == 0
+        car_x = jnp.where(tick, (car_x + car_dir) % 10, car_x)
+        car_timer = jnp.where(tick, car_period, car_timer - 1)
+
+        hit_post = jnp.any((rows == pos) & (car_x == 4))
+        pos = jnp.where(hit_post, 9, pos)
 
         ns = FreewayState(
             pos=pos, car_x=car_x, car_dir=car_dir, car_period=car_period,

@@ -257,3 +257,43 @@ def test_seaquest_mechanics():
                    esub_alive=jnp.zeros(8, bool))
     s, st = env.step(jax.random.key(21), s, jnp.asarray(UP), None)
     assert bool(st.done)
+
+
+def test_freeway_reference_cadences():
+    """Pin the reference-exact dynamics (MinAtar freeway.py): chicken
+    moves every 3 frames (cooldown decrements the same step it is set),
+    cars advance every period+1 frames, and all cars (re)spawn at x=0."""
+    env = Freeway(sticky_action_prob=0.0)
+    s, _ = env.reset(jax.random.key(3))
+    assert np.all(np.asarray(s.car_x) == 0)       # spawn wall at x=0
+
+    # chicken cadence: park traffic far from col 4, hold UP
+    s = s._replace(car_x=jnp.zeros((8,), jnp.int32),
+                   car_dir=jnp.zeros((8,), jnp.int32),
+                   car_period=jnp.full((8,), 5, jnp.int32),
+                   car_timer=jnp.full((8,), 500, jnp.int32),
+                   move_timer=jnp.asarray(0, jnp.int32))
+    poss = []
+    for i in range(9):
+        s, st = env.step(jax.random.key(i), s, jnp.asarray(UP), None)
+        poss.append(int(s.pos))
+    # moves at steps 0, 3, 6 → pos 8, 7, 6
+    assert poss == [8, 8, 8, 7, 7, 7, 6, 6, 6], poss
+
+    # car cadence: period p advances every p+1 frames
+    env2 = Freeway(sticky_action_prob=0.0)
+    s2, _ = env2.reset(jax.random.key(5))
+    s2 = s2._replace(car_x=jnp.zeros((8,), jnp.int32),
+                     car_dir=jnp.ones((8,), jnp.int32),
+                     car_period=jnp.asarray([1, 2, 3, 4, 5, 5, 5, 5],
+                                            jnp.int32),
+                     car_timer=jnp.asarray([1, 2, 3, 4, 5, 5, 5, 5],
+                                           jnp.int32),
+                     pos=jnp.asarray(9, jnp.int32))
+    xs = []
+    for i in range(10):
+        s2, _ = env2.step(jax.random.key(i), s2, jnp.asarray(NOOP), None)
+        xs.append(int(s2.car_x[0]))
+    # period-1 car: first move when its timer hits 0 (after 1 decrement),
+    # then every 2 frames
+    assert xs == [0, 1, 1, 2, 2, 3, 3, 4, 4, 5], xs
