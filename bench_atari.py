@@ -19,10 +19,13 @@ Prints ONE JSON line like bench.py; ``--sweep`` prints one line per B
 geometry.  Measured 2026-08-21 (TPU v5e) after the round-4 3D-conv
 space-to-depth + blocked-frame-replay work: 34.4k steps/s at B=128,
 peak 36.1k at B=1024 (22.5% MFU; was 23.8k / 28.9k / 18% in round 3).
-The in-scan model math runs at ~45% MFU — the lane-fill structural
-ceiling — with the remainder in the replay frame gather (73 GB/s
-descriptor-bound) + uint8→bf16 convert (see BASELINE.md +
-profiles/flagship_profile_B1024.json).
+Round-5 ledger (profiles/flagship_profile_B1024.json): the measured
+structural ceiling is value_and_grad standalone at 70 TF/s analytic =
+35.6% MFU (the earlier "~45% in-scan model math" figure was asserted,
+never measured, and is retracted); the in-scan update achieves 44.8
+TF/s = 22.7%, with the 13-point gap split across the replay row gather
++ uint8→bf16 convert+mask (convert_multiply fusion, ~12% of the
+interval) and HBM copies (~19%).
 
 Documented deviation from rlpyt's serial Pong config: B=128 lockstep
 env lanes (TPU-idiomatic; rlpyt steps 1 env) and update batch 256

@@ -344,30 +344,39 @@ def main():
                 if peak else None),
     }
 
-    # --- in-scan model-math ceiling (VERDICT r4 item #4) -----------------
-    # Exclusive conv+dot time from the trace vs analytic model FLOPs:
-    # if ALL non-model-math time vanished, MFU would be
-    # analytic_flops / (model_math_time * peak).
+    # --- model-math MFU ceiling (VERDICT r4 item #4) ---------------------
+    # The FLOPs carrier of the update is value_and_grad (analytic 5
+    # fwd-equivalents: 3 fwd in the loss + ~2 fwd of backward).  Its
+    # standalone achieved rate IS the structural ceiling: if the replay
+    # gather, convert, optimizer and target refresh all vanished, the
+    # update program would run at this MFU.  (The trace's raw conv+dot
+    # bucket is NOT usable for this: on TPU the convs live inside
+    # fusion ops — conv self-time reads only ~4% of busy — so that
+    # number undercounts model math and is reported only as a floor.)
     ceiling = None
-    if trace_summary and peak:
-        mm_us = trace_summary.get("model_math_us", 0.0)
-        if mm_us > 0:
-            ceiling = {
-                "model_math_us_per_interval": mm_us,
-                "analytic_model_tflop_per_interval": round(
-                    analytic_interval_tflop, 3),
-                "model_math_achieved_tflops": round(
-                    analytic_interval_tflop / (mm_us * 1e-6), 1),
-                "model_math_mfu_ceiling": round(
-                    analytic_interval_tflop / (mm_us * 1e-6) / peak, 4),
-                "model_math_share_of_busy": round(
-                    mm_us / max(trace_summary["self_time_total_us"],
-                                1e-9), 4),
-                "basis": "exclusive convolution+dot self-time over one "
-                         "traced interval; fusions that contain dots "
-                         "are not counted as model math (lower-bounds "
-                         "model time, upper-bounds the ceiling)",
-            }
+    if peak:
+        grad_tflops = (5.0 * ub * f / (comp["value_and_grad_ms"] * 1e-3)
+                       / 1e12)
+        ceiling = {
+            "grad_pass_achieved_tflops_analytic": round(grad_tflops, 1),
+            "grad_pass_mfu_ceiling": round(grad_tflops / peak, 4),
+            "in_scan_update_achieved_tflops_analytic": round(
+                5.0 * ub * f
+                / (comp["k_updates_scan_per_update_ms"] * 1e-3) / 1e12,
+                1),
+            "in_scan_update_mfu": round(
+                5.0 * ub * f
+                / (comp["k_updates_scan_per_update_ms"] * 1e-3) / 1e12
+                / peak, 4),
+            "trace_conv_dot_self_us": (
+                trace_summary.get("model_math_us")
+                if trace_summary else None),
+            "basis": "analytic 5 fwd-equivalents per trained sample "
+                     "over measured value_and_grad time (standalone "
+                     "jit); the in_scan_update row is the same basis "
+                     "over the k-update lax.scan per-update time — the "
+                     "MFU the interval actually achieves on updates",
+        }
 
     out = {
         "geometry": {"B": B, "T": T, "update_batch": ub,
