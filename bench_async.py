@@ -47,7 +47,12 @@ def run_one(name, B, T, ub, rr, n_intervals, RunnerCls, **kw):
     log_dir = f"/tmp/bench_async/{name}"
     shutil.rmtree(log_dir, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
-    logger = TabularLogger(log_dir)
+    # snapshot_mode="none": at this bench's per-interval log cadence,
+    # MinibatchRl's params.pkl pickling would dominate the measurement
+    # (first run showed 3.8k vs 30k steps/s — all snapshot I/O, not
+    # pipelining).  Both runners get the same no-snapshot logger; the
+    # comparison then isolates the pipelined dispatch itself.
+    logger = TabularLogger(log_dir, snapshot_mode="none")
     runner = build_runner(B=B, T=T, update_batch=ub, replay_ratio=rr,
                           RunnerCls=RunnerCls, n_intervals=n_intervals,
                           logger=logger, **kw)
@@ -79,7 +84,7 @@ def main():
 
     B, T = args.B, args.T
     ub, rr = 2 * B, 8.0
-    n_int = 4 if args.smoke else 20
+    n_int = 4 if args.smoke else 40
     rs = 4_000 if args.smoke else 200_000
 
     out = {"geometry": {"B": B, "T": T, "update_batch": ub,
