@@ -149,11 +149,54 @@ def parse_trace(logdir):
     }
 
 
+def dump_hlo_ops(text, names, out_path):
+    """Extract the defining line (shape + operands) of each named HLO
+    instruction from optimized-HLO text, plus the body of the fused
+    computation it calls — identifies what the trace's top ops (e.g.
+    'fusion.637', 'copy.172') actually compute."""
+    import re
+    lines = text.splitlines()
+    defs = {}
+    comps = {}  # computation name -> (start, end) line span
+    cur = None
+    for i, ln in enumerate(lines):
+        m = re.match(r"\s*%?([\w\.\-_]+)\s+\([^)]*\)\s+->", ln)
+        if ln.strip().startswith(("%fused_computation", "fused_computation")) \
+                and "{" in ln:
+            cur = ln.strip().split()[0].lstrip("%")
+            comps[cur] = [i, i]
+        elif cur is not None:
+            comps[cur][1] = i
+            if ln.strip() == "}":
+                cur = None
+    found = {}
+    for name in names:
+        pat = re.compile(r"%" + re.escape(name) + r"\s*=")
+        for ln in lines:
+            if pat.search(ln):
+                entry = {"def": ln.strip()[:2000]}
+                m = re.search(r"calls=%?([\w\.\-_]+)", ln)
+                if m and m.group(1) in comps:
+                    a, b = comps[m.group(1)]
+                    entry["called_computation"] = [
+                        l.strip()[:400] for l in lines[a:b + 1][:60]]
+                found[name] = entry
+                break
+    with open(out_path, "w") as f:
+        json.dump(found, f, indent=1)
+    print(f"wrote {out_path}: {sorted(found)}")
+    return found
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--B", type=int, default=2048)
     ap.add_argument("--T", type=int, default=32)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--hlo", action="store_true",
+                    help="also dump the defining HLO of the trace's top "
+                         "ops (reads the existing profile JSON's "
+                         "top_ops) to profiles/flagship_hlo_B<B>.json")
     ap.add_argument("--trace-dir", default="/tmp/rlpyt_tpu_trace")
     args = ap.parse_args()
 
@@ -180,6 +223,18 @@ def main():
     # Fill the replay ring once so sampled gathers hit realistic data.
     carry, _, _ = runner._run_interval(carry)
     jax.block_until_ready(carry.train_state.params)
+
+    if args.hlo:
+        tag = "smoke" if args.smoke else f"B{B}"
+        pdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "profiles")
+        prof = json.load(open(os.path.join(
+            pdir, f"flagship_profile_{tag}.json")))
+        names = [o["name"] for o in prof["trace"]["top_ops"][:15]]
+        compiled = runner._run_interval.lower(carry).compile()
+        dump_hlo_ops(compiled.as_text(), names,
+                     os.path.join(pdir, f"flagship_hlo_{tag}.json"))
+        return
 
     ts, rs = carry.train_state, carry.replay_state
     key = jax.random.key(123)
