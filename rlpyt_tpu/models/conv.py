@@ -7,12 +7,57 @@ prefers for convolutions feeding the MXU.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from rlpyt_tpu.models.mlp import MlpModel
+
+
+class BatchMinorConv(nn.Module):
+    """Convolution computing in a BATCH-MINOR data layout: input
+    ``[*spatial, C, N]`` → output ``[*spatial', features, N]``.
+
+    XLA:TPU's conv emitters want batch in the minor (lane) dimension at
+    large batch (the optimized HLO shows ``EmitInputBatchInLanes`` /
+    batch-last ``f012b`` dim labels); feeding them the conventional
+    batch-major layout makes layout assignment materialize a bf16
+    relayout copy of every activation (2×~0.45 ms/update at the
+    flagship geometry, profiles/flagship_profile_B1024.json top_ops
+    copy.170/copy.172).  Expressing the trunk batch-minor lets the
+    (cheaper, uint8) layout change happen before the convert and the
+    convert+scale fuse into the conv's input.
+
+    Parameters are IDENTICAL to ``nn.Conv`` (kernel ``[*k, in, out]``
+    named 'kernel', bias 'bias', same default inits) — instantiated
+    with ``name="Conv_i"`` it is checkpoint-compatible with the
+    batch-major path, so one set of params serves both."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Any = "VALID"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        nd = len(self.kernel_size)
+        in_features = x.shape[-2]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            tuple(self.kernel_size) + (in_features, self.features),
+            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        spat = "DHW"[3 - nd:]
+        dn = (spat + "CN", spat + "IO", spat + "CN")
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=tuple(self.strides), padding=self.padding,
+            dimension_numbers=dn)
+        return y + bias.astype(self.dtype)[:, None]
 
 
 class Conv2dModel(nn.Module):
@@ -39,11 +84,18 @@ class Conv2dModel(nn.Module):
     # (lets callers keep obs uint8 through the transpose and fold the
     # 1/255 scaling into the conv's fused epilogue).
     input_scale: float = 1.0
-    # Input is ALREADY in the space-to-depth layout [B, H/s, W/s, s*s*C]
-    # with channel order (C, dy, dx) — produced by the fused Pallas
-    # gather (ops/pallas/frame_gather.py).  Same params as the
-    # space_to_depth raw path.
+    # Input is ALREADY the batch-minor space-to-depth conv layout
+    # [C, H/s, W/s, s*s, N] — produced by the blocked replay sample
+    # path (replay/frame.py:_obs_pair_blocked, BlockedFrames).  Same
+    # params as the space_to_depth raw path.
     pre_blocked: bool = False
+    # When the s2d batch-minor trunk engages, return the flattened
+    # features STILL batch-minor as 2-D [C*H'*W', N] (flatten order
+    # (C, H', W'), matching the NCHW reshape) so the head's first
+    # dense layer can contract it directly (mlp.py:BatchMinorInDense)
+    # — no [N, C*H'*W']-sized relayout copy.  When the s2d path does
+    # not engage, output stays 4-D NCHW (callers branch on ndim).
+    batch_minor_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -59,7 +111,7 @@ class Conv2dModel(nn.Module):
                        and p0 == 0 and x.shape[2] % s0 == 0
                        and x.shape[3] % s0 == 0)
         if self.pre_blocked:
-            pass           # already [B, C, Hb, Wb, s*s] blocked rows
+            pass           # already [C, Hb, Wb, s*s, N] batch-minor
         elif use_s2d:
             # Per-frame blocking only (dy past Wb) — the SAME permute
             # block_frame_rows applies at replay insert, so the blocked
@@ -73,25 +125,48 @@ class Conv2dModel(nn.Module):
             x = x.reshape(B, C, H // s0, W // s0, s0 * s0)
         else:
             x = jnp.transpose(x, (0, 2, 3, 1))   # NHWC
+        if use_s2d and not self.pre_blocked:
+            # Batch-minor trunk: move N to the minor axis while still in
+            # the INPUT dtype (uint8 — half the relayout bytes of the
+            # bf16 copies XLA otherwise inserts to reach its preferred
+            # batch-in-lanes conv layout), convert after, and run every
+            # layer through BatchMinorConv (explicit names keep the
+            # param tree identical to the nn.Conv path).  The
+            # pre_blocked replay path arrives ALREADY batch-minor
+            # (replay/frame.py materializes the uint8 transpose behind
+            # an optimization barrier).
+            x = x.transpose(1, 2, 3, 4, 0)       # [C, Hb, Wb, ss, N]
         x = x.astype(self.compute_dtype)
         if self.input_scale != 1.0:
             x = x * jnp.asarray(self.input_scale, self.compute_dtype)
         for i, (ch, k, s, p) in enumerate(zip(
                 self.channels, self.kernel_sizes, self.strides, paddings)):
             if i == 0 and use_s2d:
-                # x: [B, C, Hb, Wb, s*s] = NDHWC with D=C frames.
+                # x: [C, Hb, Wb, s*s, N] = DHWCN with D=C frames.
                 # Window (C, k/s, k/s) stride 1 VALID collapses the
                 # frame axis — exactly the original stride-s kxk conv
                 # over C channels (kernel re-blocked; same fan-in).
-                C = x.shape[1]
-                x = nn.Conv(ch, (C, k // s, k // s), strides=(1, 1, 1),
-                            padding="VALID", dtype=self.compute_dtype)(x)
-                x = x.reshape(x.shape[0], x.shape[2], x.shape[3], ch)
+                C = x.shape[0]
+                x = BatchMinorConv(
+                    ch, (C, k // s, k // s), strides=(1, 1, 1),
+                    padding="VALID", dtype=self.compute_dtype,
+                    name="Conv_0")(x)
+                x = x.reshape(x.shape[1], x.shape[2], ch, x.shape[-1])
+            elif use_s2d:
+                x = BatchMinorConv(
+                    ch, (k, k), strides=(s, s),
+                    padding=[(p, p), (p, p)], dtype=self.compute_dtype,
+                    name=f"Conv_{i}")(x)
             else:
                 x = nn.Conv(ch, (k, k), strides=(s, s),
                             padding=[(p, p), (p, p)],
                             dtype=self.compute_dtype)(x)
             x = self.nonlinearity(x)
+        if use_s2d:
+            if self.batch_minor_out:
+                H2, W2, C2, N = x.shape
+                return x.transpose(2, 0, 1, 3).reshape(C2 * H2 * W2, N)
+            return jnp.transpose(x, (3, 2, 0, 1))   # [H,W,C,N] → NCHW
         return jnp.transpose(x, (0, 3, 1, 2))
 
     @staticmethod

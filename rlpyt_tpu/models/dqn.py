@@ -38,13 +38,16 @@ class DuelingHead(nn.Module):
     hidden_sizes: Sequence[int]
     output_size: int
     compute_dtype: jnp.dtype = jnp.float32
+    batch_minor_input: bool = False
 
     @nn.compact
     def __call__(self, x):
         adv = MlpModel(self.hidden_sizes, self.output_size,
-                       compute_dtype=self.compute_dtype)(x)
+                       compute_dtype=self.compute_dtype,
+                       batch_minor_input=self.batch_minor_input)(x)
         val = MlpModel(self.hidden_sizes, 1,
-                       compute_dtype=self.compute_dtype)(x)
+                       compute_dtype=self.compute_dtype,
+                       batch_minor_input=self.batch_minor_input)(x)
         return val + adv - adv.mean(axis=-1, keepdims=True)
 
 
@@ -56,13 +59,16 @@ class DistributionalDuelingHead(nn.Module):
     output_size: int  # number of actions
     n_atoms: int
     compute_dtype: jnp.dtype = jnp.float32
+    batch_minor_input: bool = False
 
     @nn.compact
     def __call__(self, x):
         adv = MlpModel(self.hidden_sizes, self.output_size * self.n_atoms,
-                       compute_dtype=self.compute_dtype)(x)
+                       compute_dtype=self.compute_dtype,
+                       batch_minor_input=self.batch_minor_input)(x)
         val = MlpModel(self.hidden_sizes, self.n_atoms,
-                       compute_dtype=self.compute_dtype)(x)
+                       compute_dtype=self.compute_dtype,
+                       batch_minor_input=self.batch_minor_input)(x)
         adv = adv.reshape(adv.shape[:-1] + (self.output_size, self.n_atoms))
         val = val.reshape(val.shape[:-1] + (1, self.n_atoms))
         return val + adv - adv.mean(axis=-2, keepdims=True)
@@ -84,28 +90,35 @@ class AtariDqnModel(nn.Module):
 
     @nn.compact
     def __call__(self, observation, prev_action=None, prev_reward=None):
-        # BlockedFrames: the replay already produced the blocked-row
-        # [K, Hb, Wb, s*s] conv input (same params as the raw path).
+        # BlockedFrames: the replay already produced the BATCH-MINOR
+        # blocked-row [K, Hb, Wb, s*s, N] conv input (same params as
+        # the raw path; replay/frame.py:_obs_pair_blocked).
         pre_blocked = isinstance(observation, BlockedFrames)
         if pre_blocked:
-            observation = observation.data
-        lead_dim, T, B, img_shape = infer_leading_dims(
-            observation, 4 if pre_blocked else 3)
-        img = observation.reshape((T * B,) + img_shape)
+            img = observation.data
+            assert img.ndim == 5, "BlockedFrames carry [K,Hb,Wb,ss,N]"
+            lead_dim, T, B = 1, 1, img.shape[-1]
+        else:
+            lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
+            img = observation.reshape((T * B,) + img_shape)
         # uint8 stays uint8 through the layout change; scaling folds
         # into the first conv's fused input (models/conv.py).
         x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
                         self.paddings, compute_dtype=self.compute_dtype,
                         space_to_depth=self.space_to_depth,
                         input_scale=1.0 / self.obs_divisor,
-                        pre_blocked=pre_blocked)(img)
-        x = x.reshape(T * B, -1)
+                        pre_blocked=pre_blocked,
+                        batch_minor_out=True)(img)
+        bm = x.ndim == 2                 # batch-minor [F, N] trunk out
+        if not bm:
+            x = x.reshape(T * B, -1)
         if self.dueling:
             q = DuelingHead(self.fc_sizes, self.n_actions,
-                            self.compute_dtype)(x)
+                            self.compute_dtype, batch_minor_input=bm)(x)
         else:
             q = MlpModel(self.fc_sizes, self.n_actions,
-                         compute_dtype=self.compute_dtype)(x)
+                         compute_dtype=self.compute_dtype,
+                         batch_minor_input=bm)(x)
         return restore_leading_dims(q, lead_dim, T, B)
 
 
@@ -129,26 +142,32 @@ class AtariCatDqnModel(nn.Module):
     def __call__(self, observation, prev_action=None, prev_reward=None):
         pre_blocked = isinstance(observation, BlockedFrames)
         if pre_blocked:
-            observation = observation.data
-        lead_dim, T, B, img_shape = infer_leading_dims(
-            observation, 4 if pre_blocked else 3)
-        img = observation.reshape((T * B,) + img_shape)
+            img = observation.data
+            assert img.ndim == 5, "BlockedFrames carry [K,Hb,Wb,ss,N]"
+            lead_dim, T, B = 1, 1, img.shape[-1]
+        else:
+            lead_dim, T, B, img_shape = infer_leading_dims(observation, 3)
+            img = observation.reshape((T * B,) + img_shape)
         # uint8 stays uint8 through the layout change; scaling folds
         # into the first conv's fused input (models/conv.py).
         x = Conv2dModel(self.channels, self.kernel_sizes, self.strides,
                         self.paddings, compute_dtype=self.compute_dtype,
                         space_to_depth=self.space_to_depth,
                         input_scale=1.0 / self.obs_divisor,
-                        pre_blocked=pre_blocked)(img)
-        x = x.reshape(T * B, -1)
+                        pre_blocked=pre_blocked,
+                        batch_minor_out=True)(img)
+        bm = x.ndim == 2                 # batch-minor [F, N] trunk out
+        if not bm:
+            x = x.reshape(T * B, -1)
         if self.dueling:
             logits = DistributionalDuelingHead(
                 self.fc_sizes, self.n_actions, self.n_atoms,
-                self.compute_dtype)(x)
+                self.compute_dtype, batch_minor_input=bm)(x)
         else:
             logits = MlpModel(
                 self.fc_sizes, self.n_actions * self.n_atoms,
-                compute_dtype=self.compute_dtype)(x)
+                compute_dtype=self.compute_dtype,
+                batch_minor_input=bm)(x)
             logits = logits.reshape(T * B, self.n_actions, self.n_atoms)
         p = jax.nn.softmax(logits, axis=-1)
         return restore_leading_dims(p, lead_dim, T, B)

@@ -50,9 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 class BlockedFrames(NamedTuple):
-    """Marker pytree: observation already in space-to-depth conv layout
-    [..., H/s, W/s, K*s*s].  Models that support it skip their own
-    input relayout (models/dqn.py:AtariDqnModel)."""
+    """Marker pytree: observation already in the BATCH-MINOR
+    space-to-depth conv layout [K, H/s, W/s, s*s, N] (produced by
+    replay/frame.py:_obs_pair_blocked behind an optimization barrier).
+    Models that support it skip their own input relayout
+    (models/dqn.py:AtariDqnModel)."""
 
     data: jax.Array
 

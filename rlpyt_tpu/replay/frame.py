@@ -185,10 +185,23 @@ class FrameReplayMixin:
         def stack(start, mask):
             win = jax.lax.slice_in_dim(fr, start, start + K, axis=1)
             win = win * mask[:, :, None].astype(win.dtype)
-            # [batch, K, Hb, Wb, ss] — reshapes ONLY; the model's first
-            # layer is a 3D conv over (K, Hb, Wb) so the K frames never
-            # interleave into one channel axis (models/conv.py).
-            return BlockedFrames(win.reshape(batch, K, Hb, Wb, ss))
+            # [K, Hb, Wb, ss, batch] BATCH-MINOR, materialized in uint8
+            # behind an optimization barrier.  XLA:TPU's conv emitters
+            # want batch in the minor dim at this batch size; without
+            # the barrier, layout assignment folds the transpose into
+            # the convert fusion's row-major output and re-inserts a
+            # bf16 relayout copy per stream (2x ~0.45 ms/update at
+            # B=1024, profiles/flagship_profile_B1024.json top_ops
+            # copy.170/172).  Pinning the uint8 transpose here pays the
+            # relayout at HALF the bytes and lets the mask multiply
+            # fuse into it; the uint8->bf16 convert + 1/255 scale then
+            # fuse into the first conv's input (models/conv.py
+            # BatchMinorConv).  The model's first layer is a 3D conv
+            # over (K, Hb, Wb), so the K frames never interleave into
+            # one channel axis.
+            win = win.reshape(batch, K, Hb, Wb, ss)
+            win = jax.lax.optimization_barrier(win.transpose(1, 2, 3, 4, 0))
+            return BlockedFrames(win)
         return stack(0, mask_a), stack(n, mask_t)
 
 

@@ -126,11 +126,12 @@ def test_blocked_replay_path_matches_jnp_path():
     obs_b, tgt_b = buf_b._obs_pair_at(st_b, t_idx, b_idx)
     assert isinstance(obs_b, BlockedFrames)
 
-    def block_of(stack):  # [n, K, H, W] -> per-frame blocked 5D
+    def block_of(stack):  # [n, K, H, W] -> batch-minor blocked 5D
         n = stack.shape[0]
         x = stack.reshape(n, K, H // S, S, W // S, S)
-        return x.transpose(0, 1, 2, 4, 3, 5).reshape(
+        x = x.transpose(0, 1, 2, 4, 3, 5).reshape(
             n, K, H // S, W // S, S * S)
+        return x.transpose(1, 2, 3, 4, 0)   # BlockedFrames contract
 
     np.testing.assert_array_equal(
         np.asarray(obs_b.data, np.float32),
