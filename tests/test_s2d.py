@@ -73,3 +73,26 @@ def test_atari_dqn_model_s2d_default_runs():
     assert q.shape == (5, 6)
     assert params["params"]["Conv2dModel_0"]["Conv_0"]["kernel"].shape \
         == (4, 2, 2, 16, 32)
+
+
+def test_blocked_frames_match_raw_obs_same_params():
+    """One param set must serve both input paths: raw [B, K, H, W]
+    uint8 (rollout) and batch-minor BlockedFrames (blocked replay
+    sampling) — the round-5 batch-minor trunk's core contract."""
+    from rlpyt_tpu.ops.pallas.frame_gather import BlockedFrames
+
+    key = jax.random.key(11)
+    n, Kf, Hh, Ww, Ss = 3, 4, 104, 80, 4
+    obs = jax.random.randint(key, (n, Kf, Hh, Ww), 0, 256,
+                             jnp.int32).astype(jnp.uint8)
+    model = AtariDqnModel(n_actions=6)
+    params = model.init(jax.random.key(12), obs)
+    q_raw = model.apply(params, obs)
+
+    x = obs.reshape(n, Kf, Hh // Ss, Ss, Ww // Ss, Ss)
+    blocked = x.transpose(0, 1, 2, 4, 3, 5).reshape(
+        n, Kf, Hh // Ss, Ww // Ss, Ss * Ss)
+    bm = blocked.transpose(1, 2, 3, 4, 0)       # BlockedFrames contract
+    q_blocked = model.apply(params, BlockedFrames(bm))
+    np.testing.assert_allclose(np.asarray(q_blocked),
+                               np.asarray(q_raw), rtol=2e-5, atol=2e-5)
