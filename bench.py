@@ -82,6 +82,9 @@ def main():
                                replay_ratio=8.0, n_intervals=5)
     nature_scaled = run_config(B=1024, T=32, update_batch=2048,
                                replay_ratio=8.0, n_intervals=5)
+    # Sweep peak after the round-5 batch-minor trunk (BASELINE.md).
+    nature_peak = run_config(B=512, T=32, update_batch=1024,
+                             replay_ratio=8.0, n_intervals=5)
     print(json.dumps({
         "metric": "env-steps/s/chip (MinAtar-Breakout DQN fused "
                   f"rollout+learn, conv model, B={B}, replay_ratio=1)",
@@ -99,6 +102,9 @@ def main():
             ("value", "trained_frames_per_s", "mfu", "device")},
         "nature_cnn_scaled_B1024": {
             k: nature_scaled[k] for k in
+            ("value", "trained_frames_per_s", "mfu", "device")},
+        "nature_cnn_peak_B512": {
+            k: nature_peak[k] for k in
             ("value", "trained_frames_per_s", "mfu", "device")},
     }))
 
