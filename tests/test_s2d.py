@@ -96,3 +96,26 @@ def test_blocked_frames_match_raw_obs_same_params():
     q_blocked = model.apply(params, BlockedFrames(bm))
     np.testing.assert_allclose(np.asarray(q_blocked),
                                np.asarray(q_raw), rtol=2e-5, atol=2e-5)
+
+
+def test_catdqn_blocked_frames_match_raw_obs_same_params():
+    """Same contract for the C51 model (AtariCatDqnModel): the blocked
+    replay path and the raw rollout path share one param set."""
+    from rlpyt_tpu.models.dqn import AtariCatDqnModel
+    from rlpyt_tpu.ops.pallas.frame_gather import BlockedFrames
+
+    key = jax.random.key(21)
+    n, Kf, Hh, Ww, Ss = 2, 4, 104, 80, 4
+    obs = jax.random.randint(key, (n, Kf, Hh, Ww), 0, 256,
+                             jnp.int32).astype(jnp.uint8)
+    model = AtariCatDqnModel(n_actions=6, dueling=True)
+    params = model.init(jax.random.key(22), obs)
+    p_raw = model.apply(params, obs)
+
+    x = obs.reshape(n, Kf, Hh // Ss, Ss, Ww // Ss, Ss)
+    blocked = x.transpose(0, 1, 2, 4, 3, 5).reshape(
+        n, Kf, Hh // Ss, Ww // Ss, Ss * Ss)
+    bm = blocked.transpose(1, 2, 3, 4, 0)
+    p_blocked = model.apply(params, BlockedFrames(bm))
+    np.testing.assert_allclose(np.asarray(p_blocked),
+                               np.asarray(p_raw), rtol=2e-5, atol=2e-5)
