@@ -67,6 +67,16 @@ config["algo"].update(prioritized_replay=True, pri_alpha=0.5,
 config["agent"].update(n_atoms=51, v_min=-10.0, v_max=10.0)
 configs["ernbw"] = config
 
+# ernbw + Ape-X per-lane ε spread (eps_final_min: log-spaced final ε
+# across the batch lanes, agents/dqn.py:EpsilonGreedyMixin).  Measured
+# at the 5M budget to improve 4 of 5 MinAtar games over scalar ε and
+# never hurt beyond noise (curves/README.md "Vector-ε spread
+# generalization"); kept as a separate key so "ernbw" stays
+# reference-parity scalar-ε.
+config = copy.deepcopy(configs["ernbw"])
+config["agent"].update(eps_final_min=0.0016, eps_final=0.4)
+configs["ernbw_vec"] = config
+
 config = copy.deepcopy(configs["dqn"])
 config["model"] = dict(**MINATAR_MODEL)
 config["model"]["lstm_size"] = 128

@@ -42,7 +42,11 @@ def test_make_variants_cross_product(tmp_path):
 def test_configs_importable():
     from rlpyt_tpu.experiments.configs.minatar_dqn import configs as dqn_cfgs
     from rlpyt_tpu.experiments.configs.minatar_pg import configs as pg_cfgs
-    assert set(dqn_cfgs) == {"dqn", "dqn_pub", "ernbw", "r2d1"}
+    assert set(dqn_cfgs) == {"dqn", "dqn_pub", "ernbw", "ernbw_vec",
+                             "r2d1"}
+    # the vector-ε key differs from ernbw only in the ε schedule
+    assert dqn_cfgs["ernbw_vec"]["agent"]["eps_final_min"] == 0.0016
+    assert dqn_cfgs["ernbw_vec"]["algo"] == dqn_cfgs["ernbw"]["algo"]
     assert set(pg_cfgs) == {"a2c", "ppo", "lstm_a2c", "lstm_ppo"}
     for cfg in list(dqn_cfgs.values()) + list(pg_cfgs.values()):
         assert {"agent", "model", "algo", "env", "runner",
