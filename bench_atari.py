@@ -138,7 +138,8 @@ def nature_cnn_fwd_flops(h=H, w=W, k_in=K,
 
 def build_runner(B: int, T: int, update_batch: int, replay_ratio: float,
                  replay_size: int = 200_000, RunnerCls=None,
-                 n_intervals: int = 20, logger=None, **runner_kwargs):
+                 n_intervals: int = 20, logger=None,
+                 window_kernel: bool = False, **runner_kwargs):
     """Build the fused Nature-CNN flagship program at one geometry
     (shared by run_config, bench_profile.py and bench_async.py).
     ``RunnerCls`` defaults to MinibatchRl; pass AsyncRl (+ its kwargs)
@@ -163,7 +164,8 @@ def build_runner(B: int, T: int, update_batch: int, replay_ratio: float,
                target_update_interval=2_500, learning_rate=2.5e-4,
                double_dqn=True, n_step_return=1,
                frame_buffer=True, frames_per_obs=K,
-               blocked_frame_sampling=True)
+               blocked_frame_sampling=True,
+               window_gather_kernel=window_kernel)
     if logger is not None:
         runner_kwargs["logger"] = logger
     runner = RunnerCls(algo=algo, agent=agent, env=make_env(),
@@ -176,6 +178,7 @@ def build_runner(B: int, T: int, update_batch: int, replay_ratio: float,
 
 def run_config(B: int, T: int, update_batch: int, replay_ratio: float,
                smoke: bool = False, n_intervals: int = 10,
+               window_kernel: bool = False,
                replay_size: int = 200_000):
     """Build + time the fused Nature-CNN program at one geometry;
     returns the result dict (shared by main() and the --sweep mode)."""
@@ -183,7 +186,8 @@ def run_config(B: int, T: int, update_batch: int, replay_ratio: float,
 
     import jax
 
-    runner = build_runner(B, T, update_batch, replay_ratio, replay_size)
+    runner = build_runner(B, T, update_batch, replay_ratio, replay_size,
+                          window_kernel=window_kernel)
     algo = runner.algo
     carry = runner.startup()
 

@@ -59,6 +59,7 @@ class DQN(RlAlgorithm):
         frame_buffer: bool = False,
         frames_per_obs: int = 4,
         blocked_frame_sampling: bool = False,
+        window_gather_kernel: bool = False,
         optim: str = "adam",
         optim_kwargs: dict | None = None,
         pallas_frame_gather: bool | None = None,
@@ -92,6 +93,14 @@ class DQN(RlAlgorithm):
                 stacklevel=2)
             blocked_frame_sampling = pallas_frame_gather
         self.blocked_frame_sampling = blocked_frame_sampling
+        # Opt-in Pallas Element-window replay sampling (requires
+        # blocked_frame_sampling; ops/pallas/window_gather.py).
+        # EXPERIMENTAL: bit-exact vs the default path but measured
+        # SLOWER at the flagship geometry (kernel module docstring);
+        # keep False unless re-measuring on a newer toolchain.
+        self.window_gather_kernel = window_gather_kernel
+        assert not window_gather_kernel or blocked_frame_sampling, (
+            "window_gather_kernel requires blocked_frame_sampling")
         self.optim = optim
         self.optim_kwargs = dict(optim_kwargs or {})
 
@@ -156,7 +165,8 @@ class DQN(RlAlgorithm):
                     "blocked_frame_sampling requires an s2d-able first "
                     f"conv: stride>1, kernel % stride == 0, padding 0 "
                     f"(got k={k0}, s={s0}, p={p0})")
-                kwargs.update(blocked_s2d=s0)
+                kwargs.update(blocked_s2d=s0,
+                              window_kernel=self.window_gather_kernel)
         self.replay = ReplayCls(**kwargs)
 
         example = SamplesToBuffer(

@@ -40,11 +40,21 @@ class FrameReplayMixin:
     divisible by s."""
 
     def __init__(self, *args, frames_per_obs: int = 4,
-                 blocked_s2d: int | None = None, **kwargs):
+                 blocked_s2d: int | None = None,
+                 window_kernel: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.frames_per_obs = frames_per_obs
         self.off_forward = max(self.off_forward, frames_per_obs - 1)
         self.blocked_s2d = blocked_s2d
+        # Pallas Element-window sampling (ops/pallas/window_gather.py):
+        # rows stored LANE-MAJOR with ghost rows so each sample's union
+        # window is one contiguous DMA; masks apply in-kernel.
+        # EXPERIMENTAL and default OFF: bit-exact vs the shipped path
+        # (tests/test_window_gather.py) but measured 3x slower in the
+        # flagship program (see the kernel module docstring).
+        self.window_kernel = window_kernel
+        assert not window_kernel or blocked_s2d, (
+            "window_kernel requires blocked_s2d rows")
 
     def init(self, example: SamplesToBuffer):
         # example.observation: [K, H, W] → store a single [H, W] frame.
@@ -58,6 +68,21 @@ class FrameReplayMixin:
             H, W = self._frame_hw
             s = self.blocked_s2d
             assert H % s == 0 and W % s == 0, (H, W, s)
+        if self.window_kernel:
+            from rlpyt_tpu.ops.pallas.window_gather import lane_major_ring
+            H, W = self._frame_hw
+            F = H * W
+            U = self.frames_per_obs + self.n_step
+            assert F % 128 == 0, (
+                f"window_kernel needs lane-aligned rows (F={F}); use "
+                "blocked_frame_sampling without window_gather_kernel")
+            assert self.sample_T >= U - 1, (
+                "window_kernel ghost-row mirror needs sample_T >= "
+                f"K+n-1 (got T={self.sample_T}, U-1={U - 1})")
+            ring = lane_major_ring(self.size_T, self.B, F, U)
+            state = state._replace(data=state.data._replace(
+                observation=jax.tree.map(lambda _: ring,
+                                         state.data.observation)))
         return state
 
     def append(self, state, samples: SamplesToBuffer):
@@ -73,7 +98,31 @@ class FrameReplayMixin:
                 observation=jax.tree.map(
                     lambda o: block_frame_rows(o, self.blocked_s2d),
                     samples.observation))
+        if self.window_kernel:
+            return self._append_lane_major(state, samples)
         return super().append(state, samples)
+
+    def _append_lane_major(self, state, samples):
+        """Window-kernel storage write: obs rows go to the lane-major
+        ghost ring (one [B, T, F] dynamic_update_slice + a ghost mirror
+        when the block covers rows [0, U-1)); the other leaves take the
+        generic time-major path (replay/base.py:append)."""
+        from rlpyt_tpu.ops.pallas.window_gather import lane_major_append
+        from rlpyt_tpu.struct import tree_dynamic_set
+
+        U = self.frames_per_obs + self.n_step
+        obs_blk = jax.tree.leaves(samples.observation)[0]   # [T, B, F]
+        ring = jax.tree.leaves(state.data.observation)[0]
+        ring = lane_major_append(ring, obs_blk, state.t,
+                                 size_T=self.size_T, U=U)
+        data = tree_dynamic_set(
+            state.data._replace(observation=None), state.t,
+            samples._replace(observation=None), axis=0)
+        data = data._replace(observation=jax.tree.map(
+            lambda _: ring, state.data.observation))
+        t = (state.t + self.sample_T) % self.size_T
+        filled = jnp.minimum(state.filled_t + self.sample_T, self.size_T)
+        return ReplayState(data=data, t=t, filled_t=filled)
 
     def _stack_masks(self, dones_u, starts):
         """Validity masks from the union done rows.  ``dones_u`` is
@@ -175,6 +224,25 @@ class FrameReplayMixin:
         b2 = b_idx[:, None]
         dones_u = d.done[rows_u[:, :-1], b2]
         mask_a, mask_t = self._stack_masks(dones_u, (0, n))
+
+        if self.window_kernel:
+            from rlpyt_tpu.ops.pallas.window_gather import (
+                gather_stacks_window,
+            )
+            ring = jax.tree.leaves(d.observation)[0]  # [B, NT, F]
+            start = (t_idx - (K - 1)) % self.size_T
+            rows_a, rows_t = gather_stacks_window(
+                ring, start, b_idx,
+                mask_a.astype(jnp.int32), mask_t.astype(jnp.int32),
+                K=K, n_step=n,
+                interpret=jax.default_backend() != "tpu")
+
+            def finish(rows):
+                x = rows.reshape(batch, K, Hb, Wb, ss)
+                x = jax.lax.optimization_barrier(
+                    x.transpose(1, 2, 3, 4, 0))
+                return BlockedFrames(x)
+            return finish(rows_a), finish(rows_t)
 
         ring = jax.tree.leaves(d.observation)[0]  # [size_T, B, F]
         # Per-row gather (~73 GB/s on v5e, descriptor-bound on 8 KB
