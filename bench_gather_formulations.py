@@ -12,13 +12,18 @@ Measured 2026-08-22 (v5e, ring [512 lanes, 390 rows], light
 background load; rerun on an idle chip for cleaner absolutes — the
 RELATIVE ordering was stable across loads):
 
-| formulation                              | ms/gather | GB/s |
+| formulation                              | run A ms | run B ms |
 |---|---|---|
-| in-scan 60 MB streaming copy (calib)     | 0.549 | 884 |
-| XLA per-row gather (ships)               | 1.498 | 39.8 |
-| Pallas row gather (index_map, 8 KB DMAs) | 10.52 | 5.7 |
-| Pallas Element-WINDOW copy (58 KB DMAs)  | 1.091 | 54.7 |
+| in-scan 60 MB streaming copy (calib)     | 0.549 (884 GB/s) | 1.328 (366 GB/s) |
+| XLA per-row gather (ships)               | 1.498 (39.8 GB/s) | 1.963 (30.4) |
+| Pallas row gather (index_map, 8 KB DMAs) | 10.52 (5.7) | 10.77 (5.5) |
+| Pallas Element-WINDOW copy (58 KB DMAs)  | 1.091 (54.7) | 1.792 (33.3) |
 | Pallas manual window DMA (depth 2/8/16)  | toolchain-blocked (AOT helper HTTP 500, all depths) |
+
+Two same-day runs under different tunnel/terminal conditions (the
+calib row is the tell: achievable streaming bandwidth itself swung
+2.4x).  The ORDERING is stable — window > XLA >> per-row Pallas — but
+the window margin moves with conditions (1.37x run A, 1.10x run B).
 
 Readings: (1) everything is far from streaming bandwidth — the random
 row/window traffic pays DRAM page misses that the calib copy does not;
